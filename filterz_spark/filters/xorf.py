@@ -1,0 +1,316 @@
+"""Xor / binary-fuse filter — vectorized numpy construction + probe.
+
+Semantics mirror the reference (steelcake/filterz ``src/xorf.zig``; paper
+arXiv:2201.01174):
+
+- re-seed each u64 key hash with Murmur2-64 (``apply_seed``, src/xorf.zig:7-9);
+- fingerprint = ``truncate(h ^ (h >> 32))`` (src/xorf.zig:11-13);
+- ``arity`` positions per key spread over consecutive segments
+  (``make_subhashes``, src/xorf.zig:29-40);
+- segment geometry from ``calculate_segment_length`` / ``calculate_size_factor``
+  / ``calculate_header`` (src/xorf.zig:58-109) — reproduced exactly, including
+  the 262144 segment cap and the empty/size<=1 edge cases;
+- Las-Vegas construction: deterministic SplitMix64 seed sequence from
+  0x726b2b9d438b9d4d, at most 100 attempts (src/xorf.zig:134-139);
+- membership: ``fp(h) ^ fps[p0] ^ fps[p1] ^ fps[p2](^ fps[p3]) == 0``
+  (src/xorf.zig:42-50). FPR <= 2^-fingerprint_bits; zero false negatives.
+
+CONSTRUCTION DIFFERENCE (documented, correctness-preserving): the reference
+peels singletons one at a time with an explicit queue (src/xorf.zig:167-193).
+We peel in vectorized ROUNDS — each round removes every current singleton at
+once (``np.flatnonzero(count == 1)``). Round-layered peeling succeeds exactly
+when queue peeling succeeds (both fully exhaust the 2-core of the hypergraph)
+and keeps the same invariants needed for back-substitution:
+  * within a round no key occupies another round-key's chosen slot (a shared
+    slot would have count >= 2),
+  * a key never reads a slot chosen by an earlier-peeled key (that slot had
+    count == 1 while this key was still present).
+So assignment can also run round-vectorized in reverse. The resulting
+fingerprint array differs from the reference byte-for-byte (different peel
+order) but satisfies the identical membership equation, zero-FN and FPR
+bound. Construction stays deterministic (numpy ops + np.unique are
+deterministic), which we rely on for resumable builds.
+
+Fingerprint widths: 8/16/32-bit natively; odd widths (u7/u9/u10) are stored
+widened with a bit mask — same behavior the reference documents as a
+limitation (README.md:21-22).
+
+xor filters are NOT mergeable (construction needs the whole key set) — at the
+Spark layer they are partition-local structures probed with OR-over-partitions
+semantics (ref src/bench.zig:228-233; SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..hashing import SplitMix64, mulhi64, murmur64_mix
+
+SEED_SEQUENCE_INIT = 0x726B2B9D438B9D4D  # ref src/xorf.zig:134
+MAX_ATTEMPTS = 100  # ref src/xorf.zig:137-139
+SEGMENT_LENGTH_CAP = 262144  # ref src/xorf.zig:86
+
+_LOW32 = np.uint64(0xFFFFFFFF)
+
+
+@dataclass
+class Header:
+    """Filter geometry (ref src/xorf.zig:19-27)."""
+
+    seed: int
+    size: int
+    segment_length: int
+    segment_length_mask: int
+    segment_count: int
+    segment_count_length: int
+    array_length: int
+
+
+def calculate_segment_length(arity: int, size: int) -> int:
+    """ref src/xorf.zig:58-71."""
+    if arity == 3:
+        base = int(math.floor(math.log(size) / math.log(3.33) + 2.25))
+    elif arity == 4:
+        base = int(math.floor(math.log(size) / math.log(2.91) - 0.5))
+    else:
+        raise ValueError("only arity 3 and 4 are supported")
+    return 1 << base
+
+
+def calculate_size_factor(arity: int, size: int) -> float:
+    """ref src/xorf.zig:73-80."""
+    if arity == 3:
+        return max(1.125, 0.875 + 0.25 * math.log(1_000_000.0) / math.log(size))
+    if arity == 4:
+        return max(1.075, 0.77 + 0.305 * math.log(600_000.0) / math.log(size))
+    raise ValueError("only arity 3 and 4 are supported")
+
+
+def calculate_header(arity: int, num_keys: int) -> Header:
+    """ref src/xorf.zig:82-109, including empty/size<=1 edge cases."""
+    size = num_keys
+    segment_length = min(
+        4 if size == 0 else calculate_segment_length(arity, size),
+        SEGMENT_LENGTH_CAP,
+    )
+    segment_length_mask = segment_length - 1
+    size_factor = 0.0 if size <= 1 else calculate_size_factor(arity, size)
+    capacity = 0 if size <= 1 else int(round(size * size_factor))
+    init_segment_count = (capacity + segment_length - 1) // segment_length
+    array_length_calc = init_segment_count * segment_length
+    segment_count_calc = (array_length_calc + segment_length - 1) // segment_length
+    if segment_count_calc <= arity - 1:
+        segment_count = 1
+    else:
+        segment_count = segment_count_calc - (arity - 1)
+    array_length = (segment_count + arity - 1) * segment_length
+    segment_count_length = segment_count * segment_length
+    return Header(
+        seed=0,
+        size=size,
+        segment_length=segment_length,
+        segment_length_mask=segment_length_mask,
+        segment_count=segment_count,
+        segment_count_length=segment_count_length,
+        array_length=array_length,
+    )
+
+
+def make_subhashes(arity: int, header: Header, h: np.ndarray) -> np.ndarray:
+    """(n, arity) int64 position array, vectorized.
+
+    DELIBERATE DEVIATION from ref src/xorf.zig:29-40 (documented): the Zig
+    reference derives the segment selector from reduce32 of the LOW 32 hash
+    bits and the in-segment offsets from 21-bit rotations of the same word;
+    at several sizes (e.g. n=1500, n=8000) those bit windows overlap the
+    selector's dominant bits, construction peels only ~60% of keys, and ALL
+    100 seeds fail (measured; the reference's own tests only cover n=42 and
+    n=10000 where the overlap is harmless). We keep the reference's geometry
+    (calculate_header), seed discipline, fingerprint and membership equation,
+    but take positions from the published binary-fuse reference derivation
+    (arXiv:2201.01174): segment selector = mulhi(h, segment_count_length)
+    over the FULL 64 bits; offsets from an 18-bit-spaced (arity 3) /
+    12-bit-spaced (arity 4) window — independent of the selector bits, so
+    peeling succeeds with the paper's probability at every size."""
+    hl = mulhi64(h, header.segment_count_length)
+    seg_len = np.uint64(header.segment_length)
+    seg_mask = np.uint64(header.segment_length_mask)
+    out = np.empty((h.size, arity), dtype=np.int64)
+    span = 18 if arity == 3 else 12
+    hh = h & np.uint64((1 << (span * (arity - 1) + span)) - 1) if span * arity <= 64 else h
+    for i in range(arity):
+        shift = np.uint64(span * (arity - 1 - i))
+        pos = (hl + np.uint64(i) * seg_len) ^ ((hh >> shift) & seg_mask)
+        out[:, i] = pos.astype(np.int64)
+    return out
+
+
+def make_fingerprint(h: np.ndarray, fp_bits: int) -> np.ndarray:
+    """``truncate(h ^ (h >> 32))`` to fp_bits (ref src/xorf.zig:11-13)."""
+    f = h ^ (h >> np.uint64(32))
+    if fp_bits >= 64:
+        return f
+    return f & np.uint64((1 << fp_bits) - 1)
+
+
+def _storage_dtype(fp_bits: int):
+    if fp_bits <= 8:
+        return np.uint8
+    if fp_bits <= 16:
+        return np.uint16
+    if fp_bits <= 32:
+        return np.uint32
+    return np.uint64
+
+
+def construct(hashes: np.ndarray, arity: int, fp_bits: int):
+    """Round-vectorized peeling construction. Returns (header, fingerprints).
+
+    Raises ConstructError after MAX_ATTEMPTS failed seeds
+    (ref ConstructError, src/xorf.zig:52-56 — a real code path callers handle).
+    """
+    n = int(hashes.size)
+    header = calculate_header(arity, n)
+    dtype = _storage_dtype(fp_bits)
+    alen = header.array_length
+    hashes = hashes.astype(np.uint64, copy=False)
+
+    rng = SplitMix64(SEED_SEQUENCE_INIT)
+    for _ in range(MAX_ATTEMPTS):
+        seed = rng.next()
+        header.seed = seed
+        h = murmur64_mix(hashes, seed)
+        sub = make_subhashes(arity, header, h)
+
+        xormask = np.zeros(alen, dtype=np.uint64)
+        count = np.zeros(alen, dtype=np.int64)
+        flat = sub.ravel()
+        np.bitwise_xor.at(xormask, flat, np.repeat(h, arity))
+        np.add.at(count, flat, 1)
+
+        # layered peel: each round removes all current singletons at once
+        rounds: list[tuple[np.ndarray, np.ndarray]] = []  # (keys_h, chosen_pos)
+        peeled = 0
+        while True:
+            singles = np.flatnonzero(count == 1)
+            if singles.size == 0:
+                break
+            hs = xormask[singles]
+            # one chosen slot per distinct key (a key can be a singleton in
+            # several slots at once; hashes are distinct post-dedup, so the
+            # xormask of a count==1 slot IS the key's seeded hash)
+            keys, first = np.unique(hs, return_index=True)
+            pos = singles[first]
+            rounds.append((keys, pos))
+            peeled += keys.size
+            ssub = make_subhashes(arity, header, keys)
+            sflat = ssub.ravel()
+            np.bitwise_xor.at(xormask, sflat, np.repeat(keys, arity))
+            np.subtract.at(count, sflat, 1)
+
+        if peeled < n:
+            continue  # 2-core non-empty -> retry with next seed (ref :195-197)
+
+        fingerprints = np.zeros(alen, dtype=dtype)
+        mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(-1)
+        for keys, pos in reversed(rounds):
+            ssub = make_subhashes(arity, header, keys)
+            f = make_fingerprint(keys, fp_bits)
+            acc = f
+            for i in range(arity):
+                acc = acc ^ (fingerprints[ssub[:, i]].astype(np.uint64) & mask)
+            # chosen slots hold 0 pre-assignment, so xor-ing all arity slots
+            # (chosen included) leaves the equation balanced
+            fingerprints[pos] = acc.astype(dtype)
+        return header, fingerprints
+
+    raise ConstructError(f"xor filter construction failed after {MAX_ATTEMPTS} seeds")
+
+
+class ConstructError(RuntimeError):
+    pass
+
+
+def contains(header: Header, fingerprints: np.ndarray, arity: int, fp_bits: int,
+             hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe (ref src/xorf.zig:42-50)."""
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    if header.size == 0:
+        # empty filter: fingerprint array all zero; fp(h)==0 only when the
+        # mixed hash truncates to 0 — match reference equation exactly
+        pass
+    h = murmur64_mix(hashes.astype(np.uint64, copy=False), header.seed)
+    sub = make_subhashes(arity, header, h)
+    mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(-1)
+    acc = make_fingerprint(h, fp_bits)
+    for i in range(arity):
+        acc = acc ^ (fingerprints[sub[:, i]].astype(np.uint64) & mask)
+    return acc == np.uint64(0)
+
+
+class XorFilter:
+    """Build-once xor/binary-fuse filter (ref Filter(F, arity), src/xorf.zig:222-263)."""
+
+    kind = "xorf"
+
+    def __init__(self, header: Header, fingerprints: np.ndarray, arity: int,
+                 fp_bits: int, num_keys: int) -> None:
+        self.header = header
+        self.fingerprints = fingerprints
+        self.arity = arity
+        self.fp_bits = fp_bits
+        self.num_keys = num_keys
+
+    @classmethod
+    def build(cls, hashes: np.ndarray, arity: int = 3, fp_bits: int = 16) -> "XorFilter":
+        header, fps = construct(hashes, arity, fp_bits)
+        return cls(header, fps, arity, fp_bits, int(hashes.size))
+
+    def check(self, hashes: np.ndarray) -> np.ndarray:
+        return contains(self.header, self.fingerprints, self.arity, self.fp_bits, hashes)
+
+    def mem_usage(self) -> int:
+        # stored (possibly widened) width, matching ref mem_usage semantics
+        return self.fingerprints.size * self.fingerprints.dtype.itemsize
+
+    def ideal_mem_usage(self) -> int:
+        return self.num_keys * self.fp_bits // 8
+
+    def params(self) -> dict:
+        h = self.header
+        return {
+            "arity": str(self.arity),
+            "fp_bits": str(self.fp_bits),
+            "num_keys": str(self.num_keys),
+            "seed": str(h.seed),
+            "size": str(h.size),
+            "segment_length": str(h.segment_length),
+            "segment_count": str(h.segment_count),
+            "array_length": str(h.array_length),
+        }
+
+    def serialize(self) -> bytes:
+        return self.fingerprints.astype(self.fingerprints.dtype.newbyteorder("<")).tobytes()
+
+    @classmethod
+    def deserialize(cls, payload: bytes, params: dict) -> "XorFilter":
+        arity = int(params["arity"])
+        fp_bits = int(params["fp_bits"])
+        seg_len = int(params["segment_length"])
+        seg_count = int(params["segment_count"])
+        header = Header(
+            seed=int(params["seed"]),
+            size=int(params["size"]),
+            segment_length=seg_len,
+            segment_length_mask=seg_len - 1,
+            segment_count=seg_count,
+            segment_count_length=seg_count * seg_len,
+            array_length=int(params["array_length"]),
+        )
+        dtype = np.dtype(_storage_dtype(fp_bits)).newbyteorder("<")
+        fps = np.frombuffer(payload, dtype=dtype).astype(_storage_dtype(fp_bits), copy=False)
+        return cls(header, fps, arity, fp_bits, int(params["num_keys"]))

@@ -1,0 +1,195 @@
+"""Mergeable-sketch tests (north-rule gates, SURVEY.md §5 / FIXTURES.md §5):
+
+- estimates within published error bounds vs exact ground truth;
+- merge associativity & commutativity: bit-identical serialized state across
+  aggregation orders for Bloom/HLL/CMS; bounded-error equivalence for
+  t-digest/KLL (order-dependent state, order-independent guarantees);
+- serialize/deserialize round-trips.
+"""
+
+import functools
+import random
+
+import numpy as np
+import pytest
+
+from filterz_spark.hashing import splitmix64_array
+from filterz_spark.sketches import (
+    BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch,
+)
+
+
+def _tree_merge(parts):
+    return functools.reduce(lambda a, b: a.merge(b), parts)
+
+
+class TestHll:
+    def test_estimate_within_bound(self):
+        for true_n in (1_000, 50_000, 500_000):
+            h = splitmix64_array(true_n, true_n)
+            s = HllSketch.zero(p=14)
+            s.update(h)
+            err = abs(s.estimate() - true_n) / true_n
+            assert err < 3 * s.std_error(), (true_n, err)
+
+    def test_merge_bit_identical_any_order(self):
+        h = splitmix64_array(7, 100_000)
+        whole = HllSketch.zero(p=12)
+        whole.update(h)
+        parts = []
+        for i in range(16):
+            s = HllSketch.zero(p=12)
+            s.update(h[i::16])
+            parts.append(s)
+        left = _tree_merge(parts)
+        rng = random.Random(99)
+        shuffled = parts[:]
+        rng.shuffle(shuffled)
+        right = _tree_merge(shuffled)
+        assert left.serialize() == right.serialize() == whole.serialize()
+
+    def test_roundtrip(self):
+        s = HllSketch.zero(p=10)
+        s.update(splitmix64_array(3, 10_000))
+        t = HllSketch.deserialize(s.serialize(), s.params())
+        assert t.estimate() == s.estimate()
+
+
+class TestCms:
+    def test_point_query_bound(self):
+        # skewed frequencies (Zipf-ish), error <= eps*N always (one-sided)
+        keys = splitmix64_array(11, 1000)
+        counts = (100_000 / np.arange(1, 1001) ** 1.2).astype(np.int64) + 1
+        s = CmsSketch.zero(depth=5, width=2048)
+        s.update(keys, counts)
+        est = s.query(keys)
+        assert (est >= counts).all(), "CMS must never underestimate"
+        assert (est <= counts + s.error_bound()).all()
+
+    def test_merge_bit_identical_any_order(self):
+        keys = splitmix64_array(13, 5000)
+        parts = []
+        for i in range(8):
+            s = CmsSketch.zero(depth=4, width=1024)
+            s.update(keys[i::8])
+            parts.append(s)
+        a = _tree_merge(parts)
+        shuffled = parts[::-1]
+        b = _tree_merge(shuffled)
+        assert a.serialize() == b.serialize()
+
+    def test_roundtrip(self):
+        s = CmsSketch.zero(depth=4, width=512)
+        s.update(splitmix64_array(17, 1000))
+        t = CmsSketch.deserialize(s.serialize(), s.params())
+        assert (t.table == s.table).all() and t.total == s.total
+
+
+class TestBloom:
+    def test_zero_fn_and_fpr(self):
+        h = splitmix64_array(19, 50_000)
+        s = BloomSketch.zero(capacity=50_000, bits_per_key=16)
+        s.update(h)
+        assert s.contains(h).all(), "false negative"
+        absent = np.setdiff1d(splitmix64_array(23, 250_000), h)[:204_800]
+        fpr = s.contains(absent).mean()
+        assert fpr <= 4 * s.fpr_bound()  # split-block factor (see test_filters)
+
+    def test_merge_bit_identical_any_order(self):
+        h = splitmix64_array(29, 20_000)
+        whole = BloomSketch.zero(capacity=20_000, bits_per_key=16)
+        whole.update(h)
+        parts = []
+        for i in range(4):
+            s = BloomSketch.zero(capacity=20_000, bits_per_key=16)
+            s.update(h[i::4])
+            parts.append(s)
+        a = _tree_merge(parts)
+        b = _tree_merge(parts[::-1])
+        assert a.serialize() == b.serialize() == whole.serialize()
+
+
+class TestTDigest:
+    QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999)
+
+    def _rank_err(self, data_sorted, est, q):
+        rank = np.searchsorted(data_sorted, est) / data_sorted.size
+        return abs(rank - q)
+
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal", "bimodal"])
+    def test_rank_error(self, dist):
+        rng = np.random.default_rng(42)
+        if dist == "uniform":
+            data = rng.uniform(0, 1, 200_000)
+        elif dist == "lognormal":
+            data = rng.lognormal(0, 1.5, 200_000)
+        else:
+            data = np.concatenate([rng.normal(0, 1, 100_000), rng.normal(50, 1, 100_000)])
+        s = TDigestSketch.zero(delta=200)
+        for chunk in np.array_split(data, 13):
+            s.update(chunk)
+        ds = np.sort(data)
+        for q in self.QS:
+            assert self._rank_err(ds, s.quantile(q), q) < 0.01, (dist, q)
+
+    def test_merge_holds_bound_any_order(self):
+        rng = np.random.default_rng(7)
+        data = rng.exponential(2.0, 120_000)
+        ds = np.sort(data)
+        parts = []
+        for i in range(12):
+            s = TDigestSketch.zero(delta=200)
+            s.update(data[i::12])
+            parts.append(s)
+        for order in (parts, parts[::-1]):
+            m = _tree_merge(order)
+            for q in self.QS:
+                assert self._rank_err(ds, m.quantile(q), q) < 0.015
+
+    def test_roundtrip(self):
+        s = TDigestSketch.zero(delta=100)
+        s.update(np.arange(1000, dtype=np.float64))
+        t = TDigestSketch.deserialize(s.serialize(), s.params())
+        assert t.quantile(0.5) == s.quantile(0.5)
+
+
+class TestKll:
+    def test_rank_error(self):
+        rng = np.random.default_rng(2024)
+        data = rng.lognormal(0, 1, 200_000)
+        s = KllSketch.zero(k=200)
+        for chunk in np.array_split(data, 20):
+            s.update(chunk)
+        ds = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = s.quantile(q)
+            rank = np.searchsorted(ds, est) / ds.size
+            assert abs(rank - q) < 0.025, q  # ~3x the 1/k nominal eps
+
+    def test_merge_holds_bound_any_order(self):
+        rng = np.random.default_rng(5)
+        data = rng.uniform(0, 100, 100_000)
+        ds = np.sort(data)
+        parts = []
+        for i in range(8):
+            s = KllSketch.zero(k=200)
+            s.update(data[i::8])
+            parts.append(s)
+        for order in (parts, parts[::-1]):
+            m = _tree_merge(order)
+            for q in (0.1, 0.5, 0.9):
+                est = m.quantile(q)
+                rank = np.searchsorted(ds, est) / ds.size
+                assert abs(rank - q) < 0.03
+
+    def test_roundtrip(self):
+        s = KllSketch.zero(k=128)
+        s.update(np.arange(50_000, dtype=np.float64))
+        t = KllSketch.deserialize(s.serialize(), s.params())
+        assert t.quantile(0.3) == s.quantile(0.3) and t.n == s.n
+
+    def test_space_sublinear(self):
+        s = KllSketch.zero(k=200)
+        s.update(np.arange(500_000, dtype=np.float64))
+        stored = sum(lv.size for lv in s.levels)
+        assert stored < 5_000, stored  # O((1/eps) sqrt(log 1/eps)) items
