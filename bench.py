@@ -1,0 +1,132 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headlines mirror the reference benchmark (src/bench.zig:18-88: section
+builds + probe workload) plus the sketch/dedup/similarity suite.
+
+Reported rates:
+- ``keys_per_sec_*``: wall-clock build rate including Spark orchestration —
+  the honest small-scale number (at sf0.1 fixed costs dominate);
+- ``kernel_keys_per_sec_*``: total keys / critical-path partition build time
+  (from the per-partition build_ns lineage) — the rate that survives scale-up,
+  where kernel time dominates orchestration.
+
+A warm-up pass spins up the Python workers and JIT paths first, like the
+reference warms its section loop; the measured pass is steady-state.
+
+Scaling evidence (north rule: two cluster sizes) comes from
+tools/scaling_bench.py (local[8] vs local[32], separate processes) ->
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
+    from filterz_spark.spark.session import get_session
+    from filterz_spark.spark.build import build_filter_index
+    from filterz_spark.spark.probe import collect_index, probe_membership
+    from filterz_spark.spark.merge import sketch_column
+    from filterz_spark.ops.dedup import exact_dedup, lsh_candidate_pairs
+    from filterz_spark.ops.similarity import cosine_topk
+
+    parts = parts or cores
+    spark = get_session(cores=cores, shuffle_partitions=max(parts, cores),
+                        **{"spark.ui.showConsoleProgress": "false"})
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # composite key -> one distinct u64 per lineitem row (the bulk key set);
+    # repartition emulates the many-scan-partition layout of a real table
+    # (a single 20MB parquet file reads as one partition)
+    keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("k")) \
+             .repartition(parts).cache()
+    n_keys = keys.count()
+    values = li.select(F.col("l_extendedprice").alias("v"),
+                       F.xxhash64("l_partkey").alias("pk"),
+                       F.xxhash64("l_returnflag").alias("rf")) \
+               .repartition(parts).cache()
+    values.count()
+
+    # warm-up: fork the Python workers + exercise mapInArrow once
+    collect_index(build_filter_index(keys, "k", "sbbf", {"bits_per_key": 8}, parts))
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    indexes = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    for label, kind, params in [
+        ("build_sbbf24", "sbbf", {"bits_per_key": 24}),
+        ("build_xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
+        ("build_xorf4_16", "xorf", {"arity": 4, "fp_bits": 16}),
+        ("build_ribbon64_16", "ribbon", {"coeff_bits": 64, "result_bits": 16}),
+    ]:
+        idx = timed(label, lambda: collect_index(
+            build_filter_index(keys, "k", kind, params, num_partitions=parts)))
+        indexes[label] = idx
+        total = sum(r["num_keys"] for r in idx)
+        crit_ns = max(r["build_ns"] for r in idx)  # critical-path partition
+        throughput[label.replace("build_", "keys_per_sec_")] = round(total / queries[label])
+        throughput[label.replace("build_", "kernel_keys_per_sec_")] = round(
+            total / (crit_ns / 1e9))
+
+    probes = orders.select(F.xxhash64("o_orderkey", "o_custkey").alias("k"))
+    idx = indexes["build_xorf3_16"]
+    hits = timed("probe_xorf3_16", lambda: probe_membership(probes, "k", idx)
+                 .filter("maybe_present").count())
+    n_probes = probes.count()
+    throughput["probes_per_sec"] = round(n_probes / queries["probe_xorf3_16"])
+
+    timed("hll_distinct", lambda: sketch_column(values, "pk", "hll", {"p": 14},
+                                                value_kind="pass").estimate())
+    timed("cms_freq", lambda: sketch_column(values, "rf", "cms",
+                                            {"depth": 5, "width": 8192},
+                                            value_kind="pass"))
+    timed("tdigest_quantiles", lambda: sketch_column(
+        values, "v", "tdigest", {"delta": 200}, value_kind="float").quantile(0.99))
+    timed("kll_quantiles", lambda: sketch_column(
+        values, "v", "kll", {"k": 200}, value_kind="float").quantile(0.99))
+    throughput["sketch_rows_per_sec_hll"] = round(n_keys / queries["hll_distinct"])
+
+    timed("dedup_exact", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(docs, 8, 3).count())
+    qvec = emb.limit(1).select("embedding").collect()[0][0]
+    timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline suite wall seconds (filter builds + probe + sketches + dedup/similarity)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        "num_keys": n_keys,
+        "num_probes": n_probes,
+        "probe_hits": hits,
+        "throughput": throughput,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cores)))

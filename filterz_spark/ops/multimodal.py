@@ -1,0 +1,97 @@
+"""Multimodal column plumbing — opaque binary payloads with typed metadata.
+
+Images/audio/video are carried as ``binary`` columns next to a metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
+UDFs over ``mapInPandas``/``mapInArrow``. The actual codecs (PIL/ffmpeg) are
+NOT in this container, so the decode step is STUBBED two ways:
+
+- ``decode_image(..., fake=True)`` (default): a deterministic fake decoder —
+  pixels derived from the payload bytes' hash — so the full Spark plumbing
+  (schema, batching, partitioning, feature shape) is real and tested;
+- ``fake=False``: raises NotImplementedError at the exact point a real codec
+  would be called, with the dependency named.
+
+Scale posture: binary payloads stay in Arrow buffers end-to-end (no base64,
+no per-row Python on the bytes — numpy views); feature extraction is a
+map-only pass, so it parallelizes with the scan and never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_FEATURE_DIM = 16
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, width int, "
+                "height int, duration_ms int")
+
+
+def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Wrap a table into the multimodal shape: binary payload + typed
+    metadata (here payload = utf-8 of a text column; stands in for real
+    image/audio bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(payload_col), "UTF-8").alias("payload"),
+        (F.pmod(F.xxhash64(payload_col), F.lit(640)) + 32).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(payload_col, F.lit(1)), F.lit(480)) + 32).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """Deterministic fake decoder: feature vector from byte-content hashes."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(out_dim, dtype=np.float32)
+    pad = (-arr.size) % 8
+    a64 = np.pad(arr, (0, pad)).view(np.uint64)
+    z = a64 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    buckets = np.zeros(out_dim, dtype=np.float64)
+    np.add.at(buckets, (z % np.uint64(out_dim)).astype(np.int64), 1.0)
+    return (buckets / max(a64.size, 1)).astype(np.float32)
+
+
+def _decode_fn(fake: bool):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libjpeg, not present in "
+                    "this container; run with fake=True for the deterministic "
+                    "stub decoder"
+                )
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            feats = [_fake_decode(p.as_py() or b"", IMAGE_FEATURE_DIM) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))],
+                names=["media_id", "features"],
+            )
+
+    return fn
+
+
+def decode_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, features array<float>) — Arrow-batched feature extraction."""
+    return media.select("media_id", "payload").mapInArrow(
+        _decode_fn(fake), "media_id long, features array<float>"
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per sampled frame
+    timestamp (plumbing real; frame decode stubbed like decode_image)."""
+    n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms"))

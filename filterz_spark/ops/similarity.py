@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k with JVM built-ins
+  (F.zip_with/F.aggregate — no Python in the hot path); the baseline and the
+  oracle-checkable path (DuckDB list_dot_product on the same data).
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing as the scale path — the
+  candidate set shrinks to one bucket (+ optional multiprobe neighbors), and
+  only candidates pay the exact-cosine cost. Hyperplanes are deterministic
+  (SplitMix64 of (plane, dim)), so buckets are reproducible across runs and
+  cluster sizes.
+
+Scale posture: brute force is a map-only scan (fine as one pass, O(n) per
+query — the right baseline); LSH turns it into an equi-join on bucket id:
+at 10^9 vectors and 16-bit signatures each probe touches ~n/65536 vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Computation stays in whole-stage codegen (zip_with/aggregate on doubles);
+    similarity rounded to 6dp with id tie-break for a deterministic ranking.
+    """
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = _dot_expr(v, qlit)
+    vnorm = F.sqrt(_dot_expr(v, v))
+    sim = F.round(dot / (vnorm * F.lit(qnorm)), 6)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from the SplitMix64 finalizer."""
+    idx = (np.arange(num_planes, dtype=np.uint64)[:, None] * np.uint64(1_000_003)
+           + np.arange(dim, dtype=np.uint64)[None, :])
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return np.where((z & np.uint64(1)).astype(bool), 1.0, -1.0)
+
+
+def _bucket_fn(num_planes: int, id_col: str, vec_col: str):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            mat = np.asarray(vecs.to_pylist(), dtype=np.float64)
+            if planes is None:
+                planes = _hyperplanes(num_planes, mat.shape[1] if mat.ndim == 2 else 0)
+            if mat.size == 0:
+                continue
+            proj = mat @ planes.T  # (n, planes)
+            bits = (proj > 0).astype(np.int64)
+            bucket = bits.dot(1 << np.arange(num_planes, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(bucket, pa.int64())], names=[id_col, "bucket"]
+            )
+
+    return fn
+
+
+def lsh_buckets(embeddings: DataFrame, num_planes: int = 12,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket) signature table — the ANN index side."""
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        _bucket_fn(num_planes, id_col, vec_col), f"{id_col} long, bucket long"
+    )
+
+
+def query_bucket(query_vec: Sequence[float], num_planes: int = 12) -> int:
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(num_planes, q.size)
+    bits = (planes @ q > 0).astype(np.int64)
+    return int(bits.dot(1 << np.arange(num_planes, dtype=np.int64)))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          exact: bool = True, num_planes: int = 12) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    exact=True: all-pairs join (the oracle-checkable baseline; O(n^2), fine
+    for verification scale). exact=False: LSH-bucketed scale path — only
+    pairs sharing a hyperplane bucket are compared, turning the cross join
+    into an equi-join on bucket id (recall < 1 by design, the standard
+    near-dup trade at 10^9 rows).
+    """
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    if not exact:
+        b = lsh_buckets(embeddings, num_planes, vec_col, id_col)
+        e = e.join(b, id_col)
+    a = e.alias("a")
+    bb = e.alias("b")
+    cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if not exact:
+        cond.append(F.col("a.bucket") == F.col("b.bucket"))
+    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    vb = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    cos = F.round(
+        _dot_expr(va, vb) / (F.sqrt(_dot_expr(va, va)) * F.sqrt(_dot_expr(vb, vb))), 6)
+    out = (
+        a.join(bb, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return out.distinct() if not exact else out
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+                 num_planes: int = 12, multiprobe: int = 1,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: LSH bucket prefilter (+ hamming-1 multiprobe) then exact
+    cosine on the candidates only."""
+    qb = query_bucket(query_vec, num_planes)
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << j) for j in range(num_planes)}
+    buckets = lsh_buckets(embeddings, num_planes, vec_col, id_col)
+    cand = buckets.filter(F.col("bucket").isin([int(b) for b in probes])).select(id_col)
+    subset = embeddings.join(F.broadcast(cand), id_col)
+    return cosine_topk(subset, query_vec, k, vec_col, id_col)

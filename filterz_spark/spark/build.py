@@ -101,18 +101,27 @@ def _build_partition_fn(kind: str, params: dict, skip_pids: frozenset | None = N
 def build_filter_index(df: DataFrame, key_col: str, kind: str = "xorf",
                        params: dict | None = None,
                        num_partitions: int | None = None,
-                       skip_pids: frozenset | None = None) -> DataFrame:
+                       skip_pids: frozenset | None = None,
+                       pre_partitioned: bool = False) -> DataFrame:
     """Hash keys, co-locate duplicates, build one filter per partition.
 
     ``repartition(P, h)`` is the single shuffle: duplicates of a key land in
     the same partition, so per-partition ``np.unique`` yields globally
     deduplicated keys (xor/ribbon construction precondition) without a
     separate ``distinct()`` shuffle.
+
+    ``pre_partitioned=True``: the caller already hash-partitioned (and
+    typically cached) the key column — skip the shuffle entirely and build
+    over the existing partitions. Used when several filter kinds are built
+    over the same key set (one shuffle amortized over N builds).
     """
     params = params or {}
-    hashed = hashed_keys(df, key_col)
-    if num_partitions:
-        hashed = hashed.repartition(num_partitions, "h")
+    if pre_partitioned:
+        hashed = df.select(F.col(key_col).alias("h"))
     else:
-        hashed = hashed.repartition("h")
+        hashed = hashed_keys(df, key_col)
+        if num_partitions:
+            hashed = hashed.repartition(num_partitions, "h")
+        else:
+            hashed = hashed.repartition("h")
     return hashed.mapInArrow(_build_partition_fn(kind, params, skip_pids), INDEX_SCHEMA)

@@ -70,9 +70,13 @@ def partial_states(df: DataFrame, col: str, kind: str, params: dict | None = Non
         value_kind = "float" if kind in ("tdigest", "kll") else "hash"
     if value_kind == "hash":
         projected = df.select(F.xxhash64(col).alias("v"))
+    elif value_kind == "pass":  # column already holds int64 key hashes
+        projected = df.select(F.col(col).cast("long").alias("v"))
     else:
         projected = df.select(F.col(col).cast("double").alias("v"))
-    return projected.mapInArrow(_partial_fn(kind, params, value_kind), STATE_SCHEMA)
+    return projected.mapInArrow(
+        _partial_fn(kind, params, "hash" if value_kind == "pass" else value_kind),
+        STATE_SCHEMA)
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -92,22 +96,30 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def tree_merge(states: DataFrame, fanin: int = 32, final_rounds_cap: int = 8) -> MergeableSketch:
+def tree_merge(states: DataFrame, fanin: int = 32,
+               num_states_hint: int | None = None) -> MergeableSketch:
     """Fan-in tree of applyInPandas merge rounds, then a driver-side finish.
 
     Each round groups ``fanin`` states by partition_id range and merges them
-    in one executor task; rounds repeat until <= fanin states remain.
+    in one executor task. The round count is derived from the PARTITION COUNT
+    of the input (one state row per partition) — a metadata lookup, not a
+    job — so the whole merge is a single pass with no count()/recompute.
     """
+    n = num_states_hint if num_states_hint is not None \
+        else states.rdd.getNumPartitions()
     cur = states
-    for _ in range(final_rounds_cap):
-        n = cur.count()
-        if n <= fanin:
-            break
+    divisor = fanin
+    while n > fanin:
+        # group ids stay aligned with the ORIGINAL partition_id (each round's
+        # output row keeps min(partition_id) of its group, so round r groups
+        # by pid // fanin^r)
         cur = (
-            cur.withColumn("g", F.floor(F.col("partition_id") / fanin))
+            cur.withColumn("g", F.floor(F.col("partition_id") / divisor))
             .groupBy("g")
             .applyInPandas(lambda pdf: _merge_group(pdf.drop(columns=["g"])), STATE_SCHEMA)
         )
+        n = (n + fanin - 1) // fanin
+        divisor *= fanin
     rows = cur.orderBy("partition_id").collect()
     if not rows:
         raise ValueError("no sketch states to merge (empty input)")
@@ -122,6 +134,7 @@ def tree_merge(states: DataFrame, fanin: int = 32, final_rounds_cap: int = 8) ->
 
 
 def sketch_column(df: DataFrame, col: str, kind: str, params: dict | None = None,
-                  fanin: int = 32) -> MergeableSketch:
+                  fanin: int = 32, value_kind: str | None = None) -> MergeableSketch:
     """End-to-end: partials -> tree merge -> final sketch object."""
-    return tree_merge(partial_states(df, col, kind, params), fanin=fanin)
+    return tree_merge(partial_states(df, col, kind, params, value_kind),
+                      fanin=fanin)

@@ -35,6 +35,9 @@ def collect_index(index_df: DataFrame) -> list[dict]:
             "params": json.loads(r["params"]),
             "payload": bytes(r["payload"]),
             "num_keys": r["num_keys"],
+            "build_ns": r["build_ns"],
+            "mem_usage": r["mem_usage"],
+            "ideal_mem_usage": r["ideal_mem_usage"],
         }
         for r in rows
     ]

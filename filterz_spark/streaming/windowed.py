@@ -1,0 +1,117 @@
+"""Structured Streaming sketch builds — windowed aggregation with late data.
+
+Two layers:
+
+1. ``watermarked_window_counts``: pure built-in streaming aggregation
+   (tumbling event-time window + watermark -> count / approx distinct) —
+   everything stays JVM-side, the declarative path for standing dashboards.
+2. ``ForeachBatchSketcher``: custom mergeable-sketch state over streaming
+   micro-batches via ``foreachBatch`` — each batch builds per-window partial
+   sketches with the SAME kernels as the batch path (mapInArrow partials +
+   merge), then OR/max/add-merges them into a persistent per-window state
+   store (parquet). Because every sketch here is a commutative monoid, late
+   or out-of-order data folds in correctly regardless of arrival order —
+   the streaming/batch consistency the merge tests gate on.
+
+Scale posture: state per window is one sketch payload (KB-MB), not row data;
+merge cost per batch is O(windows_touched). The foreachBatch pattern is the
+standard production shape for sketch state Spark can't express natively
+(applyInPandasWithState has the same semantics but pins state to the state
+store; parquet state keeps it inspectable and resumable like checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import SKETCH_KINDS, deserialize_sketch
+from ..spark.merge import partial_states
+
+
+def watermarked_window_counts(stream: DataFrame, ts_col: str = "ts",
+                              key_col: str = "user_id",
+                              window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Built-in streaming agg: tumbling window counts + approx distinct."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count("*").alias("cnt"),
+             F.approx_count_distinct(key_col).alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "approx_users")
+    )
+
+
+class ForeachBatchSketcher:
+    """Per-window mergeable-sketch state updated from streaming micro-batches.
+
+    Usage:
+        sk = ForeachBatchSketcher(state_dir, kind="hll", params={"p": 12},
+                                  ts_col="ts", key_col="user_id")
+        q = (stream.writeStream.foreachBatch(sk).trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(self, state_dir: str, kind: str = "hll", params: dict | None = None,
+                 ts_col: str = "ts", key_col: str = "user_id",
+                 window: str = "1 hour") -> None:
+        self.state_dir = state_dir
+        self.kind = kind
+        self.params = params or {}
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.window = window
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _state_path(self, window_start: str) -> str:
+        safe = window_start.replace(":", "-").replace(" ", "_")
+        return os.path.join(self.state_dir, f"w_{safe}.json")
+
+    def _load(self, window_start: str):
+        p = self._state_path(window_start)
+        if not os.path.exists(p):
+            return SKETCH_KINDS[self.kind].zero(**self.params)
+        with open(p) as f:
+            obj = json.load(f)
+        return deserialize_sketch(self.kind, bytes.fromhex(obj["payload"]), obj["params"])
+
+    def _store(self, window_start: str, sketch) -> None:
+        with open(self._state_path(window_start), "w") as f:
+            json.dump({"params": sketch.params(),
+                       "payload": sketch.serialize().hex()}, f)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        windowed = batch_df.withColumn(
+            "__w", F.date_format(F.window(F.col(self.ts_col), self.window)
+                                 .getField("start"), "yyyy-MM-dd HH:mm:ss"))
+        windows = [r["__w"] for r in windowed.select("__w").distinct().collect()]
+        for w in windows:
+            sub = windowed.filter(F.col("__w") == w)
+            states = partial_states(sub, self.key_col, self.kind, self.params)
+            rows = states.collect()
+            acc = self._load(w)
+            for r in rows:
+                acc = acc.merge(deserialize_sketch(
+                    self.kind, bytes(r["payload"]), json.loads(r["params"])))
+            self._store(w, acc)
+
+    def results(self) -> dict[str, float]:
+        """window_start -> estimate for every window seen so far."""
+        out = {}
+        for fname in sorted(os.listdir(self.state_dir)):
+            if not fname.startswith("w_"):
+                continue
+            w = fname[2:-5].replace("_", " ")
+            w = w[:13].replace("-", ":")  # undo filename mangling crudely
+            with open(os.path.join(self.state_dir, fname)) as f:
+                obj = json.load(f)
+            sk = deserialize_sketch(self.kind, bytes.fromhex(obj["payload"]), obj["params"])
+            key = fname[2:-5]
+            if hasattr(sk, "estimate"):
+                out[key] = sk.estimate()
+            elif hasattr(sk, "quantile"):
+                out[key] = sk.quantile(0.5)
+        return out

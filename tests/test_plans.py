@@ -1,0 +1,77 @@
+"""Physical-plan gates: the plans we rely on at 100TB must actually appear.
+
+- column pruning: a key-hash projection reads ONLY the key column (ReadSchema);
+- predicate pushdown: filters reach the parquet scan (PushedFilters);
+- shuffle budget: a filter-index build has exactly ONE exchange (the
+  repartition-by-hash); probe is map-only (ZERO exchanges);
+- whole-stage codegen wraps the JVM-side text operators.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_key_hash_projection_prunes_scan(spark, li):
+    from filterz_spark.spark.build import hashed_keys
+    p = plan(hashed_keys(li, "l_orderkey"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    assert m.group(1).split(":")[0] == "l_orderkey" and "," not in m.group(1), \
+        f"scan reads more than the key column: {m.group(1)}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(docs.filter(F.col("lang") == "en").select("doc_id"))
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\).*\]", p), p
+
+
+def test_build_has_single_shuffle(spark, li):
+    from filterz_spark.spark.build import build_filter_index
+    idx = build_filter_index(li, "l_orderkey", "sbbf", {"bits_per_key": 16}, 8)
+    p = plan(idx, "simple")
+    assert p.count("Exchange") == 1, f"expected exactly one shuffle:\n{p}"
+
+
+def test_probe_is_map_only(spark, li):
+    from filterz_spark.spark.build import build_filter_index
+    from filterz_spark.spark.probe import collect_index, probe_membership
+    idx = collect_index(build_filter_index(li, "l_orderkey", "sbbf",
+                                           {"bits_per_key": 16}, 4))
+    probed = probe_membership(li.select("l_orderkey"), "l_orderkey", idx)
+    p = plan(probed, "simple")
+    assert "Exchange" not in p, f"probe should not shuffle:\n{p}"
+
+
+def test_sketch_partials_are_shuffle_free(spark, li):
+    from filterz_spark.spark.merge import partial_states
+    states = partial_states(li, "l_partkey", "hll", {"p": 12})
+    p = plan(states, "simple")
+    assert "Exchange" not in p, f"partials must build where data lives:\n{p}"
+
+
+def test_text_ops_stay_in_codegen(spark):
+    from filterz_spark.ops.text import quality_scores
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(quality_scores(docs))
+    assert "codegen id" in p  # projection fused into a WholeStageCodegen span
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+        "text ops must not fall back to Python"

@@ -1,0 +1,81 @@
+"""Structured Streaming tests: windowed sketch state over micro-batches.
+
+Feeds the events table through a file-source stream in two chunks (out of
+order arrival) and checks:
+- built-in watermarked window counts equal the batch query;
+- foreachBatch HLL window states match per-window exact distinct counts
+  within the published bound, regardless of arrival order (merge-monoid
+  property under streaming).
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from filterz_spark.streaming.windowed import (
+    ForeachBatchSketcher, watermarked_window_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def stream_dirs(spark):
+    base = tempfile.mkdtemp(prefix="fz_stream_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # two out-of-order chunks: later half arrives first
+    a, b = events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1")
+    b.coalesce(1).write.parquet(os.path.join(src, "chunk0"))
+    a.coalesce(1).write.parquet(os.path.join(src, "chunk1"))
+    yield base, src, events
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _read_stream(spark, src, schema):
+    # parquet round-trip yields TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src, "chunk*"))
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def test_watermarked_window_counts(spark, stream_dirs):
+    base, src, events = stream_dirs
+    stream = _read_stream(spark, src, events.schema)
+    agg = watermarked_window_counts(stream, "ts", "user_id", "1 day", "2 days")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(base, "ckpt1")).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r["cnt"]
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    want = {str(r["d"]): r["cnt"] for r in
+            events.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count("*").alias("cnt")).collect()}
+    assert got == want
+
+
+def test_foreachbatch_hll_windows(spark, stream_dirs):
+    base, src, events = stream_dirs
+    state_dir = os.path.join(base, "state")
+    sk = ForeachBatchSketcher(state_dir, kind="hll", params={"p": 14},
+                              ts_col="ts", key_col="user_id", window="1 day")
+    stream = _read_stream(spark, src, events.schema)
+    q = (stream.writeStream.foreachBatch(sk).trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(base, "ckpt2")).start())
+    q.awaitTermination(180)
+    exact = {r["d"].strftime("%Y-%m-%d"): r["n"] for r in
+             events.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    results = sk.results()
+    assert len(results) == len(exact)
+    for key, est in results.items():
+        day = key[:10].replace("_", " ")
+        assert day in exact, (key, list(exact)[:3])
+        n = exact[day]
+        assert abs(est - n) / max(n, 1) < 0.05, (day, est, n)
