@@ -104,6 +104,26 @@ def _result_row_int(result_bits: int, seed: int, hash_: int) -> int:
     return ((h >> 32) ^ h) & ((1 << result_bits) - 1)
 
 
+def _key_params_vec(coeff_bits: int, result_bits: int, seed: int, n: int,
+                    h: np.ndarray):
+    """Vectorized (start_pos, coeff_hi, coeff_lo, result_row) for all keys —
+    the numpy form of _start_pos_int/_coeff_row_int/_result_row_int."""
+    if h.size == 0 or n <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.uint64), z.astype(np.uint64), z
+    s = np.uint64(seed)
+    hash0 = s ^ h
+    h32 = (hash0 ^ (hash0 >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+    w = np.uint64(coeff_bits // 8)
+    smash = (np.uint64(n) + w * np.uint64(2)) * h32 >> np.uint64(32)
+    pos = np.where(smash > w, smash - w, np.uint64(0))
+    start = np.minimum(np.uint64(n - 1), pos).astype(np.int64)
+    hi, lo = _coeff_rows_vec(coeff_bits, seed, h)
+    mask = np.uint64((1 << result_bits) - 1)
+    rr = (((hash0 >> np.uint64(32)) ^ hash0) & mask).astype(np.int64)
+    return start, hi, lo, rr
+
+
 def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
     """Banded Gaussian elimination + back-substitution.
 
@@ -111,23 +131,50 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
     (multiplier, seed) combination fails (ref src/ribbon.zig:136-138) — a real
     code path the Spark layer must handle with partition re-split.
     """
-    hs = [int(x) for x in np.asarray(hashes, dtype=np.uint64)]
-    n = len(hs)
+    harr = np.asarray(hashes, dtype=np.uint64)
+    n = int(harr.size)
     dtype = _storage_dtype(result_bits)
     rng = SplitMix64(INITIAL_SEED)
 
-    for multiplier in range(MIN_MULTIPLIER, MAX_MULTIPLIER + 1):
+    # size-aware warm start (deviation from the reference's fixed 103 start,
+    # src/ribbon.zig:52: justified by measurement — for w=64 the first
+    # SUCCEEDING multiplier grows with n (104 @ 50k, 106 @ 200k, 109 @ 800k);
+    # starting below it just burns full elimination passes. The sweep beyond
+    # the start is unchanged, so results stay deterministic per input and the
+    # adaptive-space property is preserved up to ~1% of slots.
+    start_mult = MIN_MULTIPLIER
+    if coeff_bits <= 64 and n > 35_000:
+        import math
+        start_mult = min(MAX_MULTIPLIER,
+                         MIN_MULTIPLIER + round(1.5 * math.log2(n / 35_000)))
+
+    for multiplier in range(start_mult, MAX_MULTIPLIER + 1):
         size = calculate_size(coeff_bits, n, multiplier)
         start_range = size + 1 - coeff_bits
         for _try in range(NUM_TRIES):
             seed = rng.next()
+            # vectorized per-key parameters (one numpy pass instead of three
+            # Python-int computations per key), then insert in ASCENDING
+            # start_pos order: elimination cascades shorten dramatically when
+            # rows arrive band-sorted (solvability is order-independent —
+            # the row span doesn't change — and sorted order is
+            # deterministic, so builds stay reproducible)
+            starts, chi, clo, rrs = _key_params_vec(
+                coeff_bits, result_bits, seed, start_range, harr)
+            order = np.argsort(starts, kind="stable")
+            if coeff_bits <= 64:
+                crs = clo[order].tolist()
+            else:
+                crs = ((chi[order].astype(object).tolist()))
+                lo_l = clo[order].tolist()
+                crs = [(hi << 64) | lo for hi, lo in zip(crs, lo_l)]
+            pos_l = starts[order].tolist()
+            rr_l = rrs[order].tolist()
+
             coeff = [0] * size
             result = [0] * size
             ok = True
-            for hv in hs:
-                pos = _start_pos_int(coeff_bits, seed, start_range, hv)
-                cr = _coeff_row_int(coeff_bits, seed, hv)
-                rr = _result_row_int(result_bits, seed, hv)
+            for pos, cr, rr in zip(pos_l, crs, rr_l):
                 while True:
                     existing = coeff[pos]
                     if existing == 0:

@@ -75,7 +75,16 @@ def insert(blocks: np.ndarray, hashes: np.ndarray) -> None:
         return
     h = hashes.astype(np.uint64, copy=False)
     idx = _block_indices(blocks.shape[0], h)
-    np.bitwise_or.at(blocks, idx, _masks(h))
+    m = _masks(h)
+    # sort-by-block + bitwise_or.reduceat beats np.bitwise_or.at (per-element
+    # scatter) ~5x: one OR-reduction per occupied block, then a plain gather
+    order = np.argsort(idx, kind="stable")
+    si = idx[order]
+    sm = m[order]
+    starts = np.flatnonzero(np.concatenate(([True], si[1:] != si[:-1])))
+    reduced = np.bitwise_or.reduceat(sm, starts, axis=0)
+    tgt = si[starts]
+    blocks[tgt] |= reduced
 
 
 def contains(blocks: np.ndarray, hashes: np.ndarray) -> np.ndarray:

@@ -77,7 +77,10 @@ def calculate_segment_length(arity: int, size: int) -> int:
         base = int(math.floor(math.log(size) / math.log(2.91) - 0.5))
     else:
         raise ValueError("only arity 3 and 4 are supported")
-    return 1 << base
+    # n=1 at arity 4 gives base=-1: the reference feeds that negative float
+    # through @intFromFloat(u32) (UB in Zig, untested there); clamp to the
+    # same minimum segment the size==0 path uses (src/xorf.zig:84-87)
+    return 1 << max(base, 2)
 
 
 def calculate_size_factor(arity: int, size: int) -> float:
@@ -185,18 +188,46 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         h = murmur64_mix(hashes, seed)
         sub = make_subhashes(arity, header, h)
 
-        xormask = np.zeros(alen, dtype=np.uint64)
-        count = np.zeros(alen, dtype=np.int64)
+        # bincount/reduceat instead of ufunc.at scatter (~5-10x on the init
+        # pass, which touches arity*n slots)
         flat = sub.ravel()
-        np.bitwise_xor.at(xormask, flat, np.repeat(h, arity))
-        np.add.at(count, flat, 1)
+        xormask = np.zeros(alen, dtype=np.uint64)
+        if flat.size:
+            count = np.bincount(flat, minlength=alen)
+            rep = np.repeat(h, arity)
+            order = np.argsort(flat, kind="stable")
+            sf = flat[order]
+            sh = rep[order]
+            starts_i = np.flatnonzero(np.concatenate(([True], sf[1:] != sf[:-1])))
+            xormask[sf[starts_i]] = np.bitwise_xor.reduceat(sh, starts_i)
+        else:
+            count = np.zeros(alen, dtype=np.int64)
 
-        # layered peel: each round removes all current singletons at once
+        # layered peel: each round removes all current singletons at once;
+        # once rounds get small (long sparse tail — measured 700+ rounds of
+        # a few keys each, every one scanning the full slot array) fall back
+        # to the reference's sequential queue peel (src/xorf.zig:167-193)
+        # over the remaining keys
         rounds: list[tuple[np.ndarray, np.ndarray]] = []  # (keys_h, chosen_pos)
+        tail_keys: list[int] = []  # sequential-phase peels, in peel order
+        tail_pos: list[int] = []
+        tail_threshold = max(2048, n >> 4)
         peeled = 0
+        touched = None  # slots whose count changed last round (None = scan all)
         while True:
-            singles = np.flatnonzero(count == 1)
+            if touched is None:
+                singles = np.flatnonzero(count == 1)
+            else:
+                # new singletons can only appear where a count just dropped:
+                # every pre-existing count==1 slot had its key peeled last
+                # round (all singleton keys peel each round)
+                singles = touched[count[touched] == 1]
             if singles.size == 0:
+                break
+            if n - peeled <= tail_threshold:
+                # few keys left: Python queue peel beats per-round numpy cost
+                peeled += _queue_peel_tail(
+                    arity, header, count, xormask, singles, tail_keys, tail_pos)
                 break
             hs = xormask[singles]
             # one chosen slot per distinct key (a key can be a singleton in
@@ -208,14 +239,43 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
             peeled += keys.size
             ssub = make_subhashes(arity, header, keys)
             sflat = ssub.ravel()
-            np.bitwise_xor.at(xormask, sflat, np.repeat(keys, arity))
-            np.subtract.at(count, sflat, 1)
+            if sflat.size > alen >> 4:
+                # large round: dense bincount/reduceat beats scatter
+                count -= np.bincount(sflat, minlength=alen)
+                srep = np.repeat(keys, arity)
+                so = np.argsort(sflat, kind="stable")
+                sf2 = sflat[so]
+                sh2 = srep[so]
+                st2 = np.flatnonzero(np.concatenate(([True], sf2[1:] != sf2[:-1])))
+                xormask[sf2[st2]] ^= np.bitwise_xor.reduceat(sh2, st2)
+                touched = sf2[st2]
+            else:
+                np.bitwise_xor.at(xormask, sflat, np.repeat(keys, arity))
+                np.subtract.at(count, sflat, 1)
+                touched = np.unique(sflat)
 
         if peeled < n:
             continue  # 2-core non-empty -> retry with next seed (ref :195-197)
 
         fingerprints = np.zeros(alen, dtype=dtype)
-        mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(-1)
+        mask_i = (1 << fp_bits) - 1
+        mask = np.uint64(mask_i) if fp_bits < 64 else np.uint64(-1)
+        # tail first (peeled last -> assigned first), element-wise in
+        # reverse peel order (ref :199-216)
+        scl = header.segment_count_length
+        seg_len = header.segment_length
+        seg_mask = header.segment_length_mask
+        span = 18 if arity == 3 else 12
+        hh_mask = (1 << (span * arity)) - 1 if span * arity <= 64 else (1 << 64) - 1
+        fp_list = fingerprints  # numpy fancy-index scalar access
+        for kh, kp in zip(reversed(tail_keys), reversed(tail_pos)):
+            hl = (kh * scl) >> 64
+            hh = kh & hh_mask
+            f = (kh ^ (kh >> 32)) & mask_i
+            for i in range(arity):
+                p = (hl + i * seg_len) ^ ((hh >> (span * (arity - 1 - i))) & seg_mask)
+                f ^= int(fp_list[p])
+            fp_list[kp] = f & mask_i
         for keys, pos in reversed(rounds):
             ssub = make_subhashes(arity, header, keys)
             f = make_fingerprint(keys, fp_bits)
@@ -232,6 +292,39 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
 
 class ConstructError(RuntimeError):
     pass
+
+
+def _queue_peel_tail(arity: int, header: Header, count: np.ndarray,
+                     xormask: np.ndarray, singles: np.ndarray,
+                     tail_keys: list, tail_pos: list) -> int:
+    """Sequential queue peel for the sparse tail — the reference's own
+    algorithm (src/xorf.zig:167-193), scalar Python-int position math
+    (exact mulhi via big ints). Mutates count/xormask in place; appends
+    peeled (key, chosen_pos) in peel order."""
+    scl = header.segment_count_length
+    seg_len = header.segment_length
+    seg_mask = header.segment_length_mask
+    span = 18 if arity == 3 else 12
+    hh_mask = (1 << (span * arity)) - 1
+    queue = singles.tolist()
+    peeled = 0
+    while queue:
+        i = queue.pop()
+        if count[i] != 1:
+            continue
+        h = int(xormask[i])
+        hl = (h * scl) >> 64
+        hh = h & hh_mask
+        for j in range(arity):
+            p = (hl + j * seg_len) ^ ((hh >> (span * (arity - 1 - j))) & seg_mask)
+            xormask[p] ^= np.uint64(h)
+            count[p] -= 1
+            if p != i and count[p] == 1:
+                queue.append(p)
+        tail_keys.append(h)
+        tail_pos.append(i)
+        peeled += 1
+    return peeled
 
 
 def contains(header: Header, fingerprints: np.ndarray, arity: int, fp_bits: int,
