@@ -167,6 +167,16 @@ def _q_lang_id(spark, sf_dir):
     return lang_id_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    from filterz_spark.ops.text import bpe_token_counts
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_rolling_fingerprints(spark, sf_dir):
+    from filterz_spark.ops.text import rolling_fingerprints
+    return rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     from filterz_spark.ops.text import doc_fingerprints
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
@@ -307,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "bpe_token_counts": _q_bpe_token_counts,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -321,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price": _q_tdigest_price,
         "kll_values": _q_kll_values,
         "simhash_docs": _q_simhash,
+        "rolling_fingerprints": _q_rolling_fingerprints,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "media_features": _q_media_features,
@@ -422,6 +434,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN score_es > score_en THEN 'es' "
             f"WHEN score_en > -1 THEN 'en' ELSE 'und' END AS lang_guess "
             f"FROM scores"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_bpe_tokens FROM documents"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, bit_xor(CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT)) "

@@ -87,6 +87,80 @@ def lang_id_scores(docs: DataFrame) -> DataFrame:
     return docs.select(*cols)
 
 
+# GPT2-style pre-tokenizer shape: contractions | letter runs | digit runs |
+# punctuation runs (space-prefixed) | whitespace. Portable subset that Java
+# (Spark) and RE2-ish (DuckDB) regex dialects agree on.
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish token count per document (the tokenizer-shape proxy a
+    training-data pipeline uses for budget estimates before real BPE)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Rolling polynomial (Rabin-Karp) fingerprints: min/max over all
+    ``window``-word rolling hashes per doc — an order-SENSITIVE content
+    fingerprint (vs the order-insensitive xor fingerprint), the winnowing
+    primitive for near-dup detection of reordered documents.
+
+    Arrow-batched numpy kernel (Horner over per-word FNV hashes, mod 2^61-1).
+    """
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        M = (1 << 61) - 1
+        B = 1_000_003
+
+        def word_hash(w: str) -> int:
+            h = 0xCBF29CE484222325
+            for byt in w.encode("utf-8"):
+                h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h % M
+
+        bw = pow(B, window, M)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            mins = np.empty(len(texts), dtype=np.int64)
+            maxs = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                words = t.split(" ") if t else []
+                hs = [word_hash(w) for w in words]
+                if not hs:
+                    mins[i] = maxs[i] = 0
+                    continue
+                acc = 0
+                lo, hi = None, None
+                for j, wh in enumerate(hs):
+                    acc = (acc * B + wh) % M
+                    if j >= window:
+                        acc = (acc - hs[j - window] * bw) % M
+                    if j >= window - 1 or j == len(hs) - 1:
+                        if lo is None or acc < lo:
+                            lo = acc
+                        if hi is None or acc > hi:
+                            hi = acc
+                mins[i], maxs[i] = lo, hi
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(mins, pa.int64()), pa.array(maxs, pa.int64())],
+                names=["doc_id", "rolling_min", "rolling_max"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        fn, "doc_id long, rolling_min long, rolling_max long"
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Order-insensitive 64-bit document fingerprint: bit_xor over per-word
     hashes (15 hex chars of md5 -> int64). A content fingerprint that is
