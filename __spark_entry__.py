@@ -215,6 +215,31 @@ def _q_cosine_near_dups_lsh(spark, sf_dir):
                                  exact=False, num_planes=8)
 
 
+def _q_prefiltered_join(spark, sf_dir):
+    """Bloom-join pushdown: membership filter over the selective build side
+    pre-filters the probe side before the shuffle join; zero FN => result
+    set equals the plain join exactly."""
+    from filterz_spark.ops.relational import filter_prefiltered_join
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter("p_size > 40")
+    joined = filter_prefiltered_join(li, part, "l_partkey", "p_partkey",
+                                     "xorf", {"arity": 3, "fp_bits": 16}, 8)
+    return joined.groupBy("p_brand").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _q_user_sessions(spark, sf_dir):
+    from filterz_spark.ops.relational import sessionize
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from filterz_spark.ops.dedup import lsh_candidate_pairs
+    from filterz_spark.ops.relational import dedup_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, k=2).select("doc_a", "doc_b")
+    return dedup_components(pairs, docs.select("doc_id"), max_iters=30)
+
+
 def _q_events_hourly(spark, sf_dir):
     return (_t(spark, sf_dir, "events")
             .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
@@ -291,6 +316,17 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(emb, qvec, k=10, num_planes=10)
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic k-means centroids, probe the
+    4 nearest inverted lists, exact cosine on candidates (rows-only: the
+    candidate set is index-dependent; recall gate lives in tests)."""
+    from filterz_spark.ops.similarity import ivf_ann_topk, ivf_train
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    centroids = ivf_train(emb, n_clusters=16, iters=3)
+    return ivf_ann_topk(emb, qvec, centroids, k=10, n_probe=4)
+
+
 def _q_media_features(spark, sf_dir):
     from filterz_spark.ops.multimodal import attach_media, decode_image_features
     media = attach_media(_t(spark, sf_dir, "documents"))
@@ -324,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "events_hourly": _q_events_hourly,
+        "prefiltered_join": _q_prefiltered_join,
+        "user_sessions": _q_user_sessions,
+        "dedup_clusters": _q_dedup_clusters,
         "salted_lang_counts": _q_salted_lang_counts,
         "top_users": _q_top_users,
         "cms_event_types": _q_cms_event_types,
@@ -335,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "media_features": _q_media_features,
     }
 
@@ -481,6 +521,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
             "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3"
         ),
+        "prefiltered_join": (
+            "SELECT p_brand, count(*) AS cnt FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey WHERE p_size > 40 "
+            "GROUP BY p_brand"
+        ),
+        "user_sessions": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start "
+            "FROM s GROUP BY user_id, session_id"
+        ),
         "events_hourly": (
             "SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS cnt, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"
@@ -491,6 +549,18 @@ def oracle_sql() -> dict[str, str]:
         "top_users": (
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id "
             "ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE sig AS ({minhash_sql}), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "
+            "  JOIN sig b ON a.band = b.band AND a.minhash = b.minhash "
+            "  AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p "
+            "  UNION SELECT doc_b, doc_a FROM p), "
+            "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "
+            "  UNION SELECT e.src, reach.r FROM edges e "
+            "  JOIN reach ON e.dst = reach.node) "
+            "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "cms_event_types": (
             # CMS with width 8192 over 5 keys: no simultaneous collisions in

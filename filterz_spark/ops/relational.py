@@ -1,0 +1,102 @@
+"""Relational patterns built on the filter/sketch layer.
+
+- ``filter_prefiltered_join``: the bloom-join pushdown — build a membership
+  filter over the build side's join keys, pre-filter the probe side with a
+  map-only probe BEFORE the shuffle join. Zero false negatives mean results
+  are exactly the plain join; false positives only cost wasted shuffle rows
+  (bounded by the filter's FPR). At 100TB this is the difference between
+  shuffling the full probe table and shuffling only the ~matching fraction.
+- ``sessionize``: event sessionization via window functions (lag + gap
+  cutoff + running session counter) — pure JVM window exec, oracle-checkable.
+- ``dedup_components``: connected components over near-dup candidate pairs
+  (iterative min-label propagation, the dedup-cluster step after LSH);
+  deterministic exact fixpoint, oracle-checkable against a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def filter_prefiltered_join(probe_df: DataFrame, build_df: DataFrame,
+                            probe_key: str, build_key: str,
+                            kind: str = "xorf", params: dict | None = None,
+                            num_partitions: int = 8) -> DataFrame:
+    """Inner join probe_df x build_df with a membership-filter pre-pass.
+
+    Returns the joined rows (probe columns + build columns). Correctness:
+    zero FN guarantees no lost matches; FP rows are eliminated by the real
+    join, so the result set is EXACTLY the plain join (oracle-checkable).
+    """
+    from ..spark.build import build_filter_index
+    from ..spark.probe import collect_index, probe_membership
+
+    params = params or {"arity": 3, "fp_bits": 16}
+    idx = collect_index(build_filter_index(build_df, build_key, kind, params,
+                                           num_partitions))
+    pre = probe_membership(probe_df, probe_key, idx).filter("maybe_present") \
+        .drop("maybe_present")
+    return pre.join(build_df, pre[probe_key] == build_df[build_key])
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_id, n_events, session_start) via lag + gap cutoff.
+
+    session_id = running count of gap-breaks per user (window exec,
+    shuffle on user_id only).
+    """
+    # microsecond-exact gap math (event timestamps carry fractional seconds;
+    # integer micros avoid float-vs-truncation drift against SQL oracles)
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    with_sid = events.withColumn(
+        "session_id", F.sum(new_session).over(w).cast("long"))
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"))
+    )
+
+
+def dedup_components(pairs: DataFrame, all_ids: DataFrame,
+                     id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation to fixpoint (large-scale dedup's
+    cluster-assignment step). Each iteration is one join + aggregate; the
+    iteration count is O(graph diameter), small for near-dup clusters.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = all_ids.select(F.col(id_col).alias("node"),
+                            F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels.cache()
+        labels.count()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))

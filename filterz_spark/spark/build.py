@@ -29,20 +29,26 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..filters import FILTER_KINDS
 
-# filter-index schema: one row per partition (SURVEY.md §1.4 "sketch-state row")
+# filter-index schema: one row per partition SHARD (normally one shard per
+# partition; a partition whose Las-Vegas construction exhausts its seed
+# budget is re-split into halves — ref ConstructError is a real code path,
+# src/xorf.zig:52-56, src/ribbon.zig:136-138)
 INDEX_SCHEMA = (
-    "partition_id int, kind string, params string, num_keys long, "
+    "partition_id int, shard int, kind string, params string, num_keys long, "
     "payload binary, build_ns long, mem_usage long, ideal_mem_usage long, "
     "attempts int"
 )
 
-INDEX_FIELDS = ["partition_id", "kind", "params", "num_keys", "payload",
+INDEX_FIELDS = ["partition_id", "shard", "kind", "params", "num_keys", "payload",
                 "build_ns", "mem_usage", "ideal_mem_usage", "attempts"]
+
+MAX_SPLIT_DEPTH = 4  # a partition may re-split at most this many times
 
 # explicit Arrow schema: pyarrow would otherwise infer int64 for the int32
 # fields and Spark's ArrowColumnVector rejects the width mismatch
 _ARROW_INDEX_SCHEMA = pa.schema([
     ("partition_id", pa.int32()),
+    ("shard", pa.int32()),
     ("kind", pa.string()),
     ("params", pa.string()),
     ("num_keys", pa.int64()),
@@ -79,21 +85,39 @@ def _build_partition_fn(kind: str, params: dict, skip_pids: frozenset | None = N
             return
         # int64 -> uint64 reinterpret, then sort+dedup (ref src/bench.zig:258-280)
         hashes = np.unique(np.concatenate(chunks).astype(np.int64).view(np.uint64))
-        t0 = time.monotonic_ns()
-        attempts = 1
-        filt = FILTER_KINDS[kind].build(hashes, **params)
-        build_ns = time.monotonic_ns() - t0
-        yield pa.RecordBatch.from_pydict({
-            "partition_id": [pid],
-            "kind": [kind],
-            "params": [json.dumps(filt.params())],
-            "num_keys": [int(hashes.size)],
-            "payload": [filt.serialize()],
-            "build_ns": [build_ns],
-            "mem_usage": [filt.mem_usage()],
-            "ideal_mem_usage": [filt.ideal_mem_usage()],
-            "attempts": [attempts],
-        }, schema=_ARROW_INDEX_SCHEMA)
+        # Las-Vegas construction can fail after its seed budget; re-split the
+        # partition's keys in halves and build shard filters (probe semantics
+        # are OR-over-filters, so shards compose transparently)
+        pending = [(hashes, 0)]
+        shards = []
+        attempts = 0
+        while pending:
+            h, depth = pending.pop()
+            attempts += 1
+            t0 = time.monotonic_ns()
+            try:
+                filt = FILTER_KINDS[kind].build(h, **params)
+            except Exception:
+                if depth >= MAX_SPLIT_DEPTH:
+                    raise
+                mid = h.size // 2
+                pending.append((h[:mid], depth + 1))
+                pending.append((h[mid:], depth + 1))
+                continue
+            shards.append((filt, int(h.size), time.monotonic_ns() - t0))
+        for shard_id, (filt, nk, build_ns) in enumerate(shards):
+            yield pa.RecordBatch.from_pydict({
+                "partition_id": [pid],
+                "shard": [shard_id],
+                "kind": [kind],
+                "params": [json.dumps(filt.params())],
+                "num_keys": [nk],
+                "payload": [filt.serialize()],
+                "build_ns": [build_ns],
+                "mem_usage": [filt.mem_usage()],
+                "ideal_mem_usage": [filt.ideal_mem_usage()],
+                "attempts": [attempts],
+            }, schema=_ARROW_INDEX_SCHEMA)
 
     return fn
 

@@ -105,4 +105,4 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
     full = spark.read.parquet(_state_path(checkpoint_dir))
     # keep one row per partition (re-runs may append duplicates; builds are
     # deterministic so any copy is byte-identical — take the first)
-    return full.dropDuplicates(["partition_id"])
+    return full.dropDuplicates(["partition_id", "shard"])

@@ -129,3 +129,22 @@ class TestMultimodal:
         frames = frame_sample(media, every_ms=1000)
         assert frames.count() == 30  # 3 frames per media
         assert frames.filter("ts_ms > duration_ms").count() == 0 or True
+
+
+class TestIvf:
+    def test_ivf_recall_and_determinism(self, spark, emb):
+        from filterz_spark.ops.similarity import cosine_topk, ivf_ann_topk, ivf_train
+        centroids = ivf_train(emb, n_clusters=16, iters=3)
+        c2 = ivf_train(emb.repartition(7), n_clusters=16, iters=3)
+        assert np.allclose(centroids, c2), "IVF training must be partition-independent"
+        q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+        brute = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+        ann = {r["vec_id"] for r in ivf_ann_topk(emb, q, centroids, 10, n_probe=4).collect()}
+        assert len(brute & ann) >= 5, f"IVF recall too low: {brute & ann}"
+
+    def test_ivf_assign_covers_all(self, spark, emb):
+        from filterz_spark.ops.similarity import ivf_assign, ivf_train
+        centroids = ivf_train(emb, n_clusters=8, iters=2)
+        assigned = ivf_assign(emb, centroids)
+        assert assigned.count() == emb.count()
+        assert assigned.select("cluster").distinct().count() >= 4

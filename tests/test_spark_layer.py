@@ -170,3 +170,48 @@ class TestSkew:
         salted = {r["lang"]: r["cnt"] for r in
                   two_phase_count(pages.select("lang"), "lang").collect()}
         assert plain == salted
+
+
+class TestConstructionRetry:
+    def test_failed_partition_resplits_into_shards(self, spark, pages):
+        """A kind whose construction fails above a size threshold must
+        re-split into shard filters with intact probe semantics
+        (ConstructError is a real code path, ref src/xorf.zig:52-56)."""
+        import numpy as np
+
+        from filterz_spark.filters import FILTER_KINDS, XorFilter
+        from filterz_spark.spark.build import build_filter_index
+        from filterz_spark.spark.probe import collect_index, probe_membership
+
+        class FlakyFilter(XorFilter):
+            kind = "flaky"
+            LIMIT = 2200
+
+            @classmethod
+            def build(cls, hashes, **params):
+                if hashes.size > cls.LIMIT:
+                    raise RuntimeError("synthetic construction failure")
+                f = XorFilter.build(hashes, **params)
+                return cls(f.header, f.fingerprints, f.arity, f.fp_bits, f.num_keys)
+
+        FILTER_KINDS["flaky"] = FlakyFilter
+        try:
+            # 30k rows / 8 partitions = ~3750 keys/partition > LIMIT -> every
+            # partition must split once (2 shards of ~1875)
+            idx_df = build_filter_index(
+                pages, "url", "flaky", {"arity": 3, "fp_bits": 16}, 8)
+            rows = idx_df.collect()
+            by_pid = {}
+            for r in rows:
+                by_pid.setdefault(r["partition_id"], []).append(r)
+            assert all(len(v) >= 2 for v in by_pid.values()), \
+                "expected re-split shards per partition"
+            assert all(r["attempts"] >= 3 for r in rows)  # 1 fail + 2 builds
+            # register deserializer under the flaky kind for the probe side
+            idx = collect_index(idx_df)
+            for r in idx:
+                r["kind"] = "xorf"  # payload layout is xorf's
+            probed = probe_membership(pages.select("url"), "url", idx)
+            assert probed.filter("NOT maybe_present").count() == 0
+        finally:
+            FILTER_KINDS.pop("flaky", None)
