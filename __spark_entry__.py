@@ -272,6 +272,18 @@ def _q_hll_users(spark, sf_dir):
         "hll_estimate long, exact long, within_3se boolean")
 
 
+def _q_hll_users_by_type(spark, sf_dir):
+    """Per-group rollup: one HLL per event_type (hypertable-rollup pattern;
+    rows-only — per-group estimates aren't SQL)."""
+    from filterz_spark.spark.merge import grouped_estimates, grouped_sketch_states
+    ev = _t(spark, sf_dir, "events")
+    states = grouped_sketch_states(ev, "event_type", "user_id", "hll", {"p": 14})
+    ests = grouped_estimates(states)
+    return spark.createDataFrame(
+        [(g, int(round(e))) for g, e in ests],
+        "event_type string, hll_users long")
+
+
 def _q_cms_event_types(spark, sf_dir):
     import numpy as np
     from filterz_spark.spark.merge import sketch_column
@@ -368,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_types": _q_cms_event_types,
         # sketch estimates / numpy kernels (rows-only)
         "hll_users": _q_hll_users,
+        "hll_users_by_type": _q_hll_users_by_type,
         "tdigest_price": _q_tdigest_price,
         "kll_values": _q_kll_values,
         "simhash_docs": _q_simhash,

@@ -208,7 +208,7 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         # a few keys each, every one scanning the full slot array) fall back
         # to the reference's sequential queue peel (src/xorf.zig:167-193)
         # over the remaining keys
-        rounds: list[tuple[np.ndarray, np.ndarray]] = []  # (keys_h, chosen_pos)
+        rounds: list[tuple] = []  # (keys_h, chosen_pos, subhash_positions)
         tail_keys: list[int] = []  # sequential-phase peels, in peel order
         tail_pos: list[int] = []
         tail_threshold = max(2048, n >> 4)
@@ -235,9 +235,9 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
             # xormask of a count==1 slot IS the key's seeded hash)
             keys, first = np.unique(hs, return_index=True)
             pos = singles[first]
-            rounds.append((keys, pos))
             peeled += keys.size
             ssub = make_subhashes(arity, header, keys)
+            rounds.append((keys, pos, ssub))  # ssub reused in assignment
             sflat = ssub.ravel()
             if sflat.size > alen >> 4:
                 # large round: dense bincount/reduceat beats scatter
@@ -276,8 +276,7 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
                 p = (hl + i * seg_len) ^ ((hh >> (span * (arity - 1 - i))) & seg_mask)
                 f ^= int(fp_list[p])
             fp_list[kp] = f & mask_i
-        for keys, pos in reversed(rounds):
-            ssub = make_subhashes(arity, header, keys)
+        for keys, pos, ssub in reversed(rounds):
             f = make_fingerprint(keys, fp_bits)
             acc = f
             for i in range(arity):

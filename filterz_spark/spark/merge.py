@@ -138,3 +138,90 @@ def sketch_column(df: DataFrame, col: str, kind: str, params: dict | None = None
     """End-to-end: partials -> tree merge -> final sketch object."""
     return tree_merge(partial_states(df, col, kind, params, value_kind),
                       fanin=fanin)
+
+
+def grouped_sketch_states(df: DataFrame, group_col: str, value_col: str,
+                          kind: str, params: dict | None = None,
+                          value_kind: str | None = None) -> DataFrame:
+    """Per-GROUP sketch states — the rollup primitive (one HLL/CMS/t-digest
+    per lang/host/day instead of one global sketch).
+
+    Two-phase: per-(partition, group) partials inside one mapInArrow pass
+    (map-side combine — the hot group's rows never concentrate), then one
+    shuffle of tiny states grouped by key and an applyInPandas merge. Output:
+    (group, kind, params, payload) — feed rows to ``deserialize_sketch`` or
+    ``grouped_estimates``.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 (executor side)
+
+    params = params or {}
+    if value_kind is None:
+        value_kind = "float" if kind in ("tdigest", "kll") else "hash"
+    if value_kind == "hash":
+        projected = df.select(F.col(group_col).alias("g"),
+                              F.xxhash64(value_col).alias("v"))
+    else:
+        projected = df.select(F.col(group_col).alias("g"),
+                              F.col(value_col).cast("double").alias("v"))
+
+    def partial_fn(batches):
+        sketches: dict = {}
+        for batch in batches:
+            gs = batch.column(0).to_pylist()
+            vs = batch.column(1).to_numpy(zero_copy_only=False)
+            if value_kind == "hash":
+                vs = vs.astype(np.int64).view(np.uint64)
+            else:
+                vs = vs.astype(np.float64)
+            # null-safe stable grouping order (None is its own group, SQL
+            # GROUP BY semantics; np.argsort on object arrays chokes on None)
+            order = sorted(range(len(gs)), key=lambda i: (gs[i] is None, gs[i] or ""))
+            svs = vs[np.asarray(order, dtype=np.int64)] if gs else vs
+            sgs = [gs[i] for i in order]
+            start = 0
+            for i in range(1, len(sgs) + 1):
+                if i == len(sgs) or sgs[i] != sgs[start]:
+                    sk = sketches.get(sgs[start])
+                    if sk is None:
+                        sk = SKETCH_KINDS[kind].zero(**params)
+                        sketches[sgs[start]] = sk
+                    sk.update(svs[start:i])
+                    start = i
+        state_schema = pa.schema([
+            ("g", pa.string()), ("kind", pa.string()),
+            ("params", pa.string()), ("payload", pa.binary()),
+        ])
+        for g, sk in sketches.items():
+            yield pa.RecordBatch.from_pydict({
+                "g": [g], "kind": [kind],
+                "params": [json.dumps(sk.params())],
+                "payload": [sk.serialize()],
+            }, schema=state_schema)
+
+    partials = projected.mapInArrow(
+        partial_fn, "g string, kind string, params string, payload binary")
+
+    def merge_group_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for p, prm in zip(pdf["payload"], pdf["params"]):
+            s = deserialize_sketch(kind, bytes(p), json.loads(prm))
+            acc = s if acc is None else acc.merge(s)
+        return pd.DataFrame({
+            "g": [pdf["g"].iloc[0]], "kind": [kind],
+            "params": [json.dumps(acc.params())],
+            "payload": [acc.serialize()],
+        })
+
+    return partials.groupBy("g").applyInPandas(
+        merge_group_fn, "g string, kind string, params string, payload binary")
+
+
+def grouped_estimates(states_df: DataFrame) -> list[tuple]:
+    """(group, estimate) per group from a grouped_sketch_states result."""
+    out = []
+    for r in states_df.collect():
+        sk = deserialize_sketch(r["kind"], bytes(r["payload"]), json.loads(r["params"]))
+        est = sk.estimate() if hasattr(sk, "estimate") else sk.quantile(0.5)
+        out.append((r["g"], est))
+    return sorted(out, key=lambda t: (t[0] is None, t[0] or ""))

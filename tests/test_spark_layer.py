@@ -215,3 +215,23 @@ class TestConstructionRetry:
             assert probed.filter("NOT maybe_present").count() == 0
         finally:
             FILTER_KINDS.pop("flaky", None)
+
+
+class TestGroupedSketches:
+    def test_per_group_hll_within_bound(self, spark, pages):
+        from filterz_spark.spark.merge import grouped_estimates, grouped_sketch_states
+        states = grouped_sketch_states(pages, "lang", "url", "hll", {"p": 12})
+        ests = dict(grouped_estimates(states))
+        exact = {r["lang"]: r["n"] for r in
+                 pages.groupBy("lang").agg(F.countDistinct("url").alias("n")).collect()}
+        assert set(ests) == set(exact)
+        for lang, n in exact.items():
+            assert abs(ests[lang] - n) / max(n, 1) < 3 * 1.04 / np.sqrt(1 << 12), lang
+
+    def test_states_partition_independent(self, spark, pages):
+        from filterz_spark.spark.merge import grouped_sketch_states
+        a = {r["g"]: bytes(r["payload"]) for r in
+             grouped_sketch_states(pages.repartition(3), "lang", "url", "hll", {"p": 10}).collect()}
+        b = {r["g"]: bytes(r["payload"]) for r in
+             grouped_sketch_states(pages.repartition(11), "lang", "url", "hll", {"p": 10}).collect()}
+        assert a == b
