@@ -109,6 +109,28 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
     qvec = emb.limit(1).select("embedding").collect()[0][0]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
 
+    # fold in the two-cluster-size evidence if tools/scaling_bench.py has run
+    scaling = None
+    baseline_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "BASELINE.md")
+    if os.path.exists(baseline_md):
+        try:
+            blob = open(baseline_md).read()
+            payload = json.loads(blob.rsplit("```json", 1)[1].split("```", 1)[0])
+            scaling = {
+                "distribution_layer_efficiency":
+                    payload["spark_compute_probe"]["distribution_layer_efficiency"],
+                "spark_8_to_32_speedup": payload["spark_compute_probe"]["speedup"],
+                "machine_ceiling_8_to_32": payload["calibration"]["int_loop"]["speedup"],
+                "payloads_byte_identical_across_core_counts": all(
+                    payload["local8"]["builds"][k]["payload_sha256"]
+                    == payload["local32"]["builds"][k]["payload_sha256"]
+                    for k in payload["local8"]["builds"]),
+                "detail": "BENCH/BASELINE.md",
+            }
+        except Exception:
+            scaling = {"detail": "BENCH/BASELINE.md (parse skipped)"}
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline suite wall seconds (filter builds + probe + sketches + dedup/similarity)",
@@ -121,6 +143,7 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
         "num_probes": n_probes,
         "probe_hits": hits,
         "throughput": throughput,
+        "scaling": scaling,
     }
     spark.stop()
     return result
