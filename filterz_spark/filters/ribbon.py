@@ -196,21 +196,25 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
             if not ok:
                 continue
 
-            # back-substitution bottom-up: solution[i] = result[i] xor
-            # (xor of solution[i+k] for set coefficient bits k>=1)
-            # (row form of the reference bit-plane loop, src/ribbon.zig:108-134)
+            # back-substitution bottom-up, bit-plane form (exactly ref
+            # src/ribbon.zig:108-134): planes[j] holds bit j of the last
+            # coeff_bits solution rows; per row, bit j = parity(plane<<1 &
+            # coeff) ^ result bit. int.bit_count is a single C call, which
+            # beats walking the ~popcount/2 set bits row by row.
+            cmask = (1 << coeff_bits) - 1
+            planes = [0] * result_bits
             solution = [0] * size
+            rb_range = range(result_bits)
             for i in range(size - 1, -1, -1):
-                acc = result[i]
-                rest = coeff[i] >> 1
-                k = 1
-                while rest:
-                    tz = (rest & -rest).bit_length() - 1
-                    k += tz
-                    acc ^= solution[i + k]
-                    rest >>= tz + 1
-                    k += 1
-                solution[i] = acc
+                cr = coeff[i]
+                rr = result[i]
+                srow = 0
+                for j in rb_range:
+                    tmp = (planes[j] << 1) & cmask
+                    bit = ((tmp & cr).bit_count() & 1) ^ ((rr >> j) & 1)
+                    planes[j] = tmp | bit
+                    srow |= bit << j
+                solution[i] = srow
             return seed, np.array(solution, dtype=dtype)
 
     raise ConstructError(
