@@ -92,6 +92,10 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
                  .filter("maybe_present").count())
     n_probes = probes.count()
     throughput["probes_per_sec"] = round(n_probes / queries["probe_xorf3_16"])
+    # reference cost model: each hit prices a 200us disk read on top of the
+    # probe time (README.md:47, src/bench.zig:82)
+    throughput["est_query_cost_us"] = round(
+        hits * 200 + queries["probe_xorf3_16"] * 1e6)
 
     timed("hll_distinct", lambda: sketch_column(values, "pk", "hll", {"p": 14},
                                                 value_kind="pass").estimate())
