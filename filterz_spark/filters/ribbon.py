@@ -159,9 +159,24 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
             # rows arrive band-sorted (solvability is order-independent —
             # the row span doesn't change — and sorted order is
             # deterministic, so builds stay reproducible)
+            from .. import native
+            if native.available() and coeff_bits in (32, 64, 128) and result_bits <= 32:
+                # C fast path — computes the same per-key params and inserts
+                # in the same stable start-position order as the fallback
+                # below, so the solution is byte-identical (tested).
+                sol = native.ribbon_attempt(harr, seed, size, coeff_bits,
+                                            result_bits)
+                if sol is False:
+                    continue  # inconsistent system -> next seed
+                if sol is not None:
+                    return seed, sol.astype(dtype)
             starts, chi, clo, rrs = _key_params_vec(
                 coeff_bits, result_bits, seed, start_range, harr)
-            order = np.argsort(starts, kind="stable")
+            # stable bucket sort on the top 16 bits of start position —
+            # the same key the native kernel uses, so both backends insert
+            # in the identical order and solutions stay byte-identical
+            shift = max(0, int(start_range - 1).bit_length() - 16)
+            order = np.argsort(starts >> shift, kind="stable")
             if coeff_bits <= 64:
                 crs = clo[order].tolist()
             else:

@@ -74,6 +74,9 @@ def insert(blocks: np.ndarray, hashes: np.ndarray) -> None:
     if blocks.shape[0] == 0 or hashes.size == 0:
         return
     h = hashes.astype(np.uint64, copy=False)
+    from .. import native
+    if native.sbbf_insert(blocks, h):  # byte-identical C fast path
+        return
     idx = _block_indices(blocks.shape[0], h)
     m = _masks(h)
     # sort-by-block + bitwise_or.reduceat beats np.bitwise_or.at (per-element
@@ -95,6 +98,10 @@ def contains(blocks: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     if blocks.shape[0] == 0:
         return np.zeros(hashes.size, dtype=bool)
     h = hashes.astype(np.uint64, copy=False)
+    from .. import native
+    res = native.sbbf_contains(blocks, h)
+    if res is not None:
+        return res
     idx = _block_indices(blocks.shape[0], h)
     m = _masks(h)
     return ((blocks[idx] & m) == m).all(axis=1)

@@ -182,6 +182,26 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
     hashes = hashes.astype(np.uint64, copy=False)
 
     rng = SplitMix64(SEED_SEQUENCE_INIT)
+
+    from .. import native
+    if native.available() and fp_bits <= 64:
+        # C fast path: the reference's own sequential queue peel
+        # (src/xorf.zig:167-216) over the same position scheme and seed
+        # sequence. A seed succeeds iff the hypergraph's 2-core is empty —
+        # a property of (seed, positions) only — so the C and numpy
+        # backends succeed on exactly the same seed; only the
+        # slot-assignment order (payload bytes) differs between backends.
+        fp64 = np.zeros(alen, dtype=np.uint64)
+        for _ in range(MAX_ATTEMPTS):
+            seed = rng.next()
+            header.seed = seed
+            peeled = native.xorf_attempt(
+                hashes, seed, arity, header.segment_length,
+                header.segment_count_length, alen, fp_bits, fp64)
+            if peeled == n:
+                return header, fp64.astype(dtype)
+        raise ConstructError(
+            f"xor filter construction failed after {MAX_ATTEMPTS} seeds")
     for _ in range(MAX_ATTEMPTS):
         seed = rng.next()
         header.seed = seed
@@ -335,6 +355,14 @@ def contains(header: Header, fingerprints: np.ndarray, arity: int, fp_bits: int,
         # empty filter: fingerprint array all zero; fp(h)==0 only when the
         # mixed hash truncates to 0 — match reference equation exactly
         pass
+    from .. import native
+    if native.available() and fp_bits <= 64:
+        res = native.xorf_contains(
+            fingerprints.astype(np.uint64, copy=False), header.seed, arity,
+            header.segment_length, header.segment_count_length, fp_bits,
+            hashes.astype(np.uint64, copy=False))
+        if res is not None:
+            return res
     h = murmur64_mix(hashes.astype(np.uint64, copy=False), header.seed)
     sub = make_subhashes(arity, header, h)
     mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(-1)

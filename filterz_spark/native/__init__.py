@@ -1,0 +1,171 @@
+"""Native C kernels — compiled on first import, ctypes-loaded, optional.
+
+The construction hot loops (xor peel, ribbon banded elimination, sbbf
+scatter-OR) are inherently per-key sequential, which caps pure-numpy at
+~0.2-1 M keys/s/core vs the reference's 7-28 M/s (BASELINE.md). This module
+compiles ``kernels.c`` with the system C compiler at import time (cached by
+source hash under the temp dir, atomic rename so concurrent executor
+processes race safely) and exposes thin numpy-array wrappers. Everything
+degrades gracefully: if no compiler is present or ``FILTERZ_NATIVE=0`` is
+set, every entry point returns ``None`` and the callers fall back to their
+numpy implementations (same membership semantics; sbbf/ribbon payloads are
+byte-identical across backends, xorf differs only in peel order — see
+filters/xorf.py).
+
+Deploy note: tools/package_zip.py ships ``kernels.c`` inside the --py-files
+zip; ``pkgutil.get_data`` reads it through zipimport, so each executor node
+compiles once into its local temp dir on first use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pkgutil
+import subprocess
+import tempfile
+
+import numpy as np
+from numpy.ctypeslib import ndpointer
+
+_u64p = ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_i64p = ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_u8p = ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+_lib = None  # None = not tried, False = unavailable
+
+
+def _disabled() -> bool:
+    return os.environ.get("FILTERZ_NATIVE", "1") == "0"
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        src = pkgutil.get_data(__package__, "kernels.c")
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        cache = os.path.join(tempfile.gettempdir(), f"filterz_native_{tag}")
+        so_path = os.path.join(cache, "kernels.so")
+        if not os.path.exists(so_path):
+            os.makedirs(cache, exist_ok=True)
+            c_path = os.path.join(cache, "kernels.c")
+            tmp = f"{so_path}.tmp.{os.getpid()}"
+            with open(c_path, "wb") as f:
+                f.write(src)
+            cc = os.environ.get("CC", "gcc")
+            subprocess.run(
+                [cc, "-O3", "-fPIC", "-shared", "-o", tmp, c_path],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, so_path)  # atomic: last writer wins, same bytes
+        lib = ctypes.CDLL(so_path)
+
+        lib.sbbf_insert.argtypes = [_u64p, ctypes.c_int64, _u64p, ctypes.c_int64]
+        lib.sbbf_insert.restype = None
+        lib.sbbf_contains.argtypes = [_u64p, ctypes.c_int64, _u64p,
+                                      ctypes.c_int64, _u8p]
+        lib.sbbf_contains.restype = None
+        lib.xorf_attempt.argtypes = [
+            _u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _u64p,
+        ]
+        lib.xorf_attempt.restype = ctypes.c_int64
+        lib.xorf_contains.argtypes = [
+            _u64p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, _u64p, ctypes.c_int64, _u8p,
+        ]
+        lib.xorf_contains.restype = None
+        lib.ribbon_attempt.argtypes = [
+            _u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _u64p,
+        ]
+        lib.ribbon_attempt.restype = ctypes.c_int32
+        _lib = lib
+    except Exception:
+        _lib = False
+    return _lib
+
+
+def available() -> bool:
+    """True when the compiled kernels can be used (env-gated per call so
+    tests can exercise the numpy fallbacks via FILTERZ_NATIVE=0)."""
+    return not _disabled() and bool(_load())
+
+
+def sbbf_insert(blocks: np.ndarray, hashes: np.ndarray) -> bool:
+    """Scatter-OR hashes into the (num_blocks, 8) u64 block array in place.
+    Byte-identical to the numpy path. Returns False if unavailable."""
+    if not available():
+        return False
+    lib = _load()
+    b = np.ascontiguousarray(blocks, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    lib.sbbf_insert(b, blocks.shape[0], h, h.size)
+    if b is not blocks:
+        blocks[...] = b
+    return True
+
+
+def sbbf_contains(blocks: np.ndarray, hashes: np.ndarray):
+    if not available():
+        return None
+    lib = _load()
+    b = np.ascontiguousarray(blocks, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    out = np.empty(h.size, dtype=np.uint8)
+    lib.sbbf_contains(b, blocks.shape[0], h, h.size, out)
+    return out.view(bool)
+
+
+def xorf_attempt(hashes: np.ndarray, seed: int, arity: int, segment_length: int,
+                 segment_count_length: int, array_length: int, fp_bits: int,
+                 fp_out: np.ndarray):
+    """One construction attempt (reference queue peel). Returns peeled count
+    or None if unavailable; fp_out (u64, len array_length) is filled only on
+    full peel."""
+    if not available():
+        return None
+    lib = _load()
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    peeled = lib.xorf_attempt(h, h.size, seed & 0xFFFFFFFFFFFFFFFF,
+                              arity, segment_length, segment_count_length,
+                              array_length, fp_bits, fp_out)
+    if peeled < 0:
+        raise MemoryError("xorf_attempt: allocation failed")
+    return int(peeled)
+
+
+def xorf_contains(fps_u64: np.ndarray, seed: int, arity: int,
+                  segment_length: int, segment_count_length: int,
+                  fp_bits: int, hashes: np.ndarray):
+    if not available():
+        return None
+    lib = _load()
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    f = np.ascontiguousarray(fps_u64, dtype=np.uint64)
+    out = np.empty(h.size, dtype=np.uint8)
+    lib.xorf_contains(f, seed & 0xFFFFFFFFFFFFFFFF, arity, segment_length,
+                      segment_count_length, fp_bits, h, h.size, out)
+    return out.view(bool)
+
+
+def ribbon_attempt(hashes: np.ndarray, seed: int, size: int, coeff_bits: int,
+                   result_bits: int):
+    """One (multiplier, seed) construction try: per-key params + stable
+    radix sort by start position + banded elimination + back-substitution,
+    all in C. Returns the u64 solution array, False on inconsistent system
+    (retry with next seed), or None if unavailable."""
+    if not available() or coeff_bits not in (32, 64, 128) or result_bits > 32:
+        return None
+    lib = _load()
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    sol = np.empty(size, dtype=np.uint64)
+    status = lib.ribbon_attempt(h, h.size, seed & 0xFFFFFFFFFFFFFFFF,
+                                size, coeff_bits, result_bits, sol)
+    if status == -1:
+        raise MemoryError("ribbon_attempt: allocation failed")
+    return sol if status == 0 else False

@@ -30,7 +30,14 @@ def get_session(cores: int | None = None, app_name: str = "filterz-spark",
         # Arrow batches feed the vectorized UDF kernels; bigger batches =
         # fewer Python crossings (SIMD lanes -> batch parallelism, SURVEY §4)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        # cached key columns are hashes (high-entropy, incompressible):
+        # columnar-cache compression costs a full decode pass per read for
+        # ~zero space win, and 10k-row cached batches bottleneck the
+        # cache->Arrow feed (measured 11s -> 0.7s for 20M longs at local[32]
+        # with these two settings)
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")

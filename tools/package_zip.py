@@ -16,7 +16,7 @@ def build_zip(out_path: str = "/tmp/filterz_spark.zip") -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if f.endswith((".py", ".c")):  # .c: native kernels compile on-node
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     return out_path
