@@ -34,6 +34,20 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__GLIBC__) || defined(__linux__)
+#include <malloc.h>
+/* Construction kernels allocate and free tens of MB per attempt; glibc
+ * mmap()s blocks over 128KB and munmap()s them on free, so every attempt
+ * re-faults its whole working set — at 32 concurrent workers the page-fault
+ * and TLB-shootdown storm inflates kernel time ~10x (measured). Keep big
+ * blocks on the heap for reuse instead; workers are long-lived so the
+ * retained peak (~100MB) is irrelevant. */
+__attribute__((constructor)) static void filterz_tune_malloc(void) {
+    mallopt(M_MMAP_THRESHOLD, 1 << 30);
+    mallopt(M_TRIM_THRESHOLD, 1 << 30);
+}
+#endif
+
 /* ---------------- shared hash primitives ---------------- */
 
 static inline uint64_t mulhi64(uint64_t a, uint64_t b) {

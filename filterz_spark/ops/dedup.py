@@ -2,9 +2,9 @@
 
 Exact dedup (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
 bucket-join), n-gram Jaccard verification, SimHash, and embedding-cosine
-near-dup. Exact/MinHash/Jaccard are expressed with JVM built-ins (md5 as the
-shared hash makes MinHash oracle-checkable in DuckDB, which has the same
-md5); SimHash needs bit-twiddling -> vectorized numpy over mapInArrow.
+near-dup. ALL of them — simhash included — are expressed with JVM built-ins
+(md5 as the shared word hash makes every value oracle-checkable in DuckDB,
+which has the same md5); nothing here runs per-row Python.
 
 Scale posture: every operator is a groupBy/join on a derived key — shingle
 explosion is the only fan-out (x ~n_tokens per doc) and is immediately
@@ -15,9 +15,6 @@ bucket; Jaccard runs only on LSH candidates.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -57,12 +54,27 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2) -> Data
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
+                        max_bucket_size: int | None = 10_000) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
-    only docs with a colliding band meet. Returns (doc_a, doc_b, n_bands)."""
+    only docs with a colliding band meet. Returns (doc_a, doc_b, n_bands).
+
+    ``max_bucket_size`` guards the self-join against degenerate hot buckets
+    (e.g. millions of empty/boilerplate docs sharing a minhash): a bucket of
+    b docs yields b^2/2 pairs, so one web-scale junk cluster would otherwise
+    go quadratic. Buckets above the cap are dropped from candidate
+    generation (their members are boilerplate-identical; handle them with
+    exact_dedup, which is linear). None disables the cap.
+    """
     sig = minhash_signatures(docs, num_hashes, k)
+    if max_bucket_size is not None:
+        sizes = (sig.groupBy("band", "minhash")
+                 .agg(F.count("*").alias("bucket_n")))
+        sig = (sig.join(sizes, ["band", "minhash"])
+               .filter(F.col("bucket_n") <= max_bucket_size)
+               .drop("bucket_n"))
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -98,67 +110,75 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
     return j.filter(F.col("jaccard") >= min_jaccard)
 
 
-def _simhash_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """64-bit SimHash per doc from per-word splitmix-mixed hashes (numpy)."""
-    import numpy as np
-
-    def mix(x):
-        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
-    for batch in batches:
-        doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
-        texts = batch.column(1).to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = t.split(" ") if t else []
-            if not words:
-                out[i] = 0
-                continue
-            # FNV-ish word bytes hash, then splitmix finalizer, vectorized
-            wh = np.array([hash_word(w) for w in words], dtype=np.uint64)
-            wh = mix(wh)
-            bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            out[i] = np.int64((votes > 0).astype(np.uint64)
-                              .dot(np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.int64))
-        yield pa.RecordBatch.from_arrays(
-            [batch.column(0), pa.array(out, pa.int64())], names=["doc_id", "simhash"]
-        )
-
-
-def hash_word(w: str) -> int:
-    """Deterministic FNV-1a over utf-8 bytes (process-independent, unlike
-    Python's builtin hash)."""
-    h = 0xCBF29CE484222325
-    for b in w.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+SIMHASH_BITS = 60  # 15 md5 hex chars -> non-negative int64, portable SQL
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash int64). Near-dups = small hamming distance."""
-    return docs.select("doc_id", "text").mapInArrow(
-        _simhash_fn, "doc_id long, simhash long"
+    """(doc_id, simhash int64): 60-bit SimHash from md5 word hashes.
+
+    Word hash = first 15 hex chars of md5(word) as an integer (the same
+    portable trick doc_fingerprints uses — md5 is identical in DuckDB, so
+    the FULL simhash value is oracle-checkable in SQL). Per bit j, the vote
+    is #words-with-bit-set*2 > #words; all-occurrence voting (a repeated
+    word votes once per occurrence, standard SimHash). Whole pipeline is
+    explode + groupBy with 60 conditional sums — JVM codegen, no Python.
+    """
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wh = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    hashed = words.select("doc_id", wh.alias("wh"))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned("wh", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """The DuckDB twin of ``simhash`` — bit-for-bit identical values."""
+    sums = ", ".join(f"sum((wh >> {j}) & 1) AS s{j}" for j in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN s{j} * 2 > n THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        f"FROM {table}), "
+        f"hashed AS (SELECT doc_id, CAST(concat('0x', substring(md5(w), 1, 15)) "
+        f"AS BIGINT) AS wh FROM words), "
+        f"agg AS (SELECT doc_id, count(*) AS n, {sums} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs via 4-band bucketing (each 16-bit quarter is a
-    bucket key; a pair within hamming distance 3 shares >= 1 exact quarter —
-    the classic pigeonhole block trick) then exact hamming check."""
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole block bucketing.
+
+    Recall contract: the simhash is split into ``max_hamming + 1`` equal-ish
+    bit blocks; a pair within hamming distance ``max_hamming`` differs in at
+    most ``max_hamming`` blocks, so it SHARES at least one exact block —
+    candidate generation has guaranteed recall 1 for the advertised
+    threshold (then an exact hamming check filters). More blocks = more
+    bucket joins, so large max_hamming trades cost for recall guarantee.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = (SIMHASH_BITS + n_blocks - 1) // n_blocks
     sh = simhash(docs)
-    quarters = sh.select(
+    blocks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(q).alias("q"),
-                     F.shiftrightunsigned("simhash", 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
-            for q in range(4)
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned("simhash", block_bits * q)
+                .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("bucket"))
+            for q in range(n_blocks)
         ])).alias("e"),
     ).select("doc_id", "simhash", "e.q", "e.bucket")
-    a, b = quarters.alias("a"), quarters.alias("b")
+    a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, [F.col("a.q") == F.col("b.q"), F.col("a.bucket") == F.col("b.bucket"),
                    F.col("a.doc_id") < F.col("b.doc_id")])

@@ -62,13 +62,23 @@ def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
 
 
 def dedup_components(pairs: DataFrame, all_ids: DataFrame,
-                     id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+                     id_col: str = "doc_id", max_iters: int = 20,
+                     check_every: int = 3) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id) where
     cluster_id = min doc id reachable through the pair graph.
 
     Iterative min-label propagation to fixpoint (large-scale dedup's
     cluster-assignment step). Each iteration is one join + aggregate; the
     iteration count is O(graph diameter), small for near-dup clusters.
+
+    Scale hygiene: lineage is cut with ``localCheckpoint`` every
+    ``check_every`` rounds (unbounded iterative lineage re-executes the
+    whole chain on any recompute and blows up the planner), and the
+    driver-side convergence check — an extra job per round in the naive
+    form — is batched to checkpoint rounds as one aggregate over the
+    already-materialized labels. Raises if the propagation has not
+    converged after ``max_iters`` (silently returning partial components
+    would mislabel clusters).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -79,24 +89,48 @@ def dedup_components(pairs: DataFrame, all_ids: DataFrame,
     )
     labels = all_ids.select(F.col(id_col).alias("node"),
                             F.col(id_col).alias("label"))
-    for _ in range(max_iters):
+    last_sig = None
+    converged = False
+    it = 0
+    while it < max_iters:
+        it += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select("node", F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"))
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).count()
+        if it % check_every == 0 or it == max_iters:
+            # cut lineage, then one cheap agg on the materialized labels:
+            # labels only DECREASE, so an unchanged label sum across a
+            # whole check window means fixpoint (sum is exact in int64 at
+            # any realistic id range x corpus size)
+            labels = labels.localCheckpoint(eager=True)
+            sig = tuple(labels.agg(F.sum("label"), F.count("*")).collect()[0])
+            if sig == last_sig:
+                converged = True
+                break
+            last_sig = sig
+    if not converged:
+        # one final exactness pass: fixpoint may have landed between checks
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        labels = new_labels.cache()
-        labels.count()
-        if changed == 0:
-            break
+        still = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .filter(F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+            .count()
+        )
+        if still:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iters} iterations "
+                f"({still} labels still decreasing) — the pair graph has a "
+                f"longer diameter; raise max_iters")
+    edges.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))

@@ -67,10 +67,10 @@ def _bucket_fn(num_planes: int, id_col: str, vec_col: str):
             ids = batch.column(0)
             vecs = batch.column(1)
             mat = np.asarray(vecs.to_pylist(), dtype=np.float64)
-            if planes is None:
-                planes = _hyperplanes(num_planes, mat.shape[1] if mat.ndim == 2 else 0)
             if mat.size == 0:
-                continue
+                continue  # defer plane init past empty batches (dim unknown)
+            if planes is None:
+                planes = _hyperplanes(num_planes, mat.shape[1])
             proj = mat @ planes.T  # (n, planes)
             bits = (proj > 0).astype(np.int64)
             bucket = bits.dot(1 << np.arange(num_planes, dtype=np.int64))
@@ -147,34 +147,60 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
         fn, f"{id_col} long, cluster int")
 
 
+def ivf_index(embeddings: DataFrame, centroids: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Materialized IVF index: (id, cluster, vec), repartitioned by cluster
+    and cached — build it ONCE, serve many queries from it.
+
+    This is the inverted-lists structure: a query's n_probe clusters map to
+    n_probe partitions, so each lookup scans only those lists instead of
+    re-assigning the full corpus (at 10^9 vectors the difference between a
+    full-corpus matmul per query and ~n_probe/n_clusters of it). On a real
+    deployment this DataFrame would be written bucketed-by-cluster."""
+    assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
+    return (embeddings.select(id_col, vec_col).join(assigned, id_col)
+            .repartition("cluster").cache())
+
+
 def ivf_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
                  centroids: np.ndarray, k: int = 10, n_probe: int = 4,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 index: DataFrame | None = None) -> DataFrame:
     """IVF search: rank centroids by cosine to the query, scan only the
     n_probe nearest inverted lists, exact cosine top-k on the candidates.
     At 10^9 vectors with 4096 clusters and n_probe=64, this scans ~1.5% of
-    the corpus per query."""
+    the corpus per query.
+
+    Pass ``index`` (from ``ivf_index``) to serve repeated queries from the
+    materialized inverted lists; without it the assignment is computed
+    inline (one full scan — fine for a single ad-hoc query, wrong for a
+    query workload). ``n_probe >= n_clusters`` provably degenerates to the
+    exact top-k (every list scanned) — the oracle regime."""
     q = np.asarray(query_vec, dtype=np.float64)
     cn = np.linalg.norm(centroids, axis=1)
     cn[cn == 0] = 1.0
     sims = (centroids @ q) / (np.linalg.norm(q) + 1e-12) / cn
     probe_clusters = [int(c) for c in np.argsort(-sims)[:n_probe]]
-    assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
-    cand = assigned.filter(F.col("cluster").isin(probe_clusters)).select(id_col)
-    subset = embeddings.join(F.broadcast(cand), id_col)
+    if index is None:
+        index = embeddings.select(id_col, vec_col).join(
+            ivf_assign(embeddings, centroids, vec_col, id_col), id_col)
+    subset = (index.filter(F.col("cluster").isin(probe_clusters))
+              .select(id_col, vec_col))
     return cosine_topk(subset, query_vec, k, vec_col, id_col)
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           vec_col: str = "embedding", id_col: str = "vec_id",
-                          exact: bool = True, num_planes: int = 12) -> DataFrame:
+                          exact: bool = False, num_planes: int = 12) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
-    exact=True: all-pairs join (the oracle-checkable baseline; O(n^2), fine
-    for verification scale). exact=False: LSH-bucketed scale path — only
-    pairs sharing a hyperplane bucket are compared, turning the cross join
-    into an equi-join on bucket id (recall < 1 by design, the standard
-    near-dup trade at 10^9 rows).
+    Default (exact=False) is the LSH-bucketed scale path — only pairs
+    sharing a hyperplane bucket are compared, turning the cross join into
+    an equi-join on bucket id (recall < 1 by design, the standard near-dup
+    trade at 10^9 rows; ``num_planes=0`` degenerates to one bucket =
+    provable recall 1, the oracle regime). Pass ``exact=True`` explicitly
+    for the all-pairs O(n^2) baseline — verification scale ONLY, it is a
+    cartesian join and must never be the default at corpus scale.
     """
     e = embeddings.select(F.col(id_col), F.col(vec_col))
     if not exact:
@@ -202,12 +228,21 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 def lsh_ann_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
                  num_planes: int = 12, multiprobe: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """ANN top-k: LSH bucket prefilter (+ hamming-1 multiprobe) then exact
-    cosine on the candidates only."""
+    """ANN top-k: LSH bucket prefilter + hamming-``multiprobe`` multiprobe,
+    then exact cosine on the candidates only.
+
+    ``multiprobe >= num_planes`` probes every bucket: the candidate set is
+    the full corpus, so the result provably equals the exact top-k — the
+    recall-1 oracle regime (sensible only at test scale / tiny num_planes).
+    """
     qb = query_bucket(query_vec, num_planes)
-    probes = {qb}
-    if multiprobe >= 1:
-        probes |= {qb ^ (1 << j) for j in range(num_planes)}
+    if multiprobe >= num_planes:
+        probes = set(range(1 << num_planes))
+    else:
+        probes = {qb}
+        for _ in range(multiprobe):
+            probes |= {p ^ (1 << j) for p in list(probes)
+                       for j in range(num_planes)}
     buckets = lsh_buckets(embeddings, num_planes, vec_col, id_col)
     cand = buckets.filter(F.col("bucket").isin([int(b) for b in probes])).select(id_col)
     subset = embeddings.join(F.broadcast(cand), id_col)

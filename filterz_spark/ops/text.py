@@ -10,7 +10,7 @@ document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # stopword-ish marker tokens per language for the n-gram/marker heuristic
 LANG_MARKERS = {
@@ -103,61 +103,80 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
-    """Rolling polynomial (Rabin-Karp) fingerprints: min/max over all
-    ``window``-word rolling hashes per doc — an order-SENSITIVE content
+ROLLING_WINDOW = 8
+ROLLING_BASE = 23  # 28-bit word hashes * 23^7 * 8 terms stays < 2^63 exactly
+
+
+def rolling_fingerprints(docs: DataFrame, window: int = ROLLING_WINDOW) -> DataFrame:
+    """Rolling polynomial (Rabin-Karp family) fingerprints: min/max over all
+    ``window``-word polynomial hashes per doc — an order-SENSITIVE content
     fingerprint (vs the order-insensitive xor fingerprint), the winnowing
     primitive for near-dup detection of reordered documents.
 
-    Arrow-batched numpy kernel (Horner over per-word FNV hashes, mod 2^61-1).
+    Word hash = first 7 md5 hex chars as an int (28 bits, portable to
+    DuckDB); window fingerprint = sum(wh[i+j] * BASE^(window-1-j)), exact in
+    int64. The rolling windows are ``lead()`` chains over word positions —
+    pure JVM window exec (the Spark-native form of the O(1) rolling update:
+    the engine shares the sort across all leads), no Python anywhere. Docs
+    shorter than the window yield one fingerprint over all their words.
+    Output: (doc_id, n_windows, rolling_min, rolling_max) —
+    ``rolling_fingerprints_sql`` is the bit-identical DuckDB twin.
     """
-    from typing import Iterator
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    hashed = words.select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("long").alias("wh"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"))
+    full = None
+    for j in range(window):
+        term = F.lead("wh", j).over(w) * F.lit(ROLLING_BASE ** (window - 1 - j))
+        full = term if full is None else full + term
+    # short docs: one fingerprint over all n words with powers B^(n-1-pos)
+    # (n - 1 - pos <= window - 2 whenever n < window, so the CASE is total)
+    short_pow = F.when(F.col("n") - 1 - F.col("pos") == 0, F.lit(1))
+    for e in range(1, window - 1):
+        short_pow = short_pow.when(
+            F.col("n") - 1 - F.col("pos") == e, F.lit(ROLLING_BASE ** e))
+    short_fp = F.sum(F.col("wh") * short_pow).over(
+        Window.partitionBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    fps = hashed.select(
+        "doc_id", "n",
+        F.when(F.col("n") >= window,
+               F.when(F.col("pos") <= F.col("n") - window, full)).otherwise(
+            F.when(F.col("pos") == 0, short_fp))  # short doc: ONE window
+        .alias("fp"))
+    return (
+        fps.filter(F.col("fp").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_windows"),
+             F.min("fp").alias("rolling_min"), F.max("fp").alias("rolling_max"))
+    )
 
-    import pyarrow as pa
 
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import numpy as np
-
-        M = (1 << 61) - 1
-        B = 1_000_003
-
-        def word_hash(w: str) -> int:
-            h = 0xCBF29CE484222325
-            for byt in w.encode("utf-8"):
-                h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h % M
-
-        bw = pow(B, window, M)
-        for batch in batches:
-            ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            mins = np.empty(len(texts), dtype=np.int64)
-            maxs = np.empty(len(texts), dtype=np.int64)
-            for i, t in enumerate(texts):
-                words = t.split(" ") if t else []
-                hs = [word_hash(w) for w in words]
-                if not hs:
-                    mins[i] = maxs[i] = 0
-                    continue
-                acc = 0
-                lo, hi = None, None
-                for j, wh in enumerate(hs):
-                    acc = (acc * B + wh) % M
-                    if j >= window:
-                        acc = (acc - hs[j - window] * bw) % M
-                    if j >= window - 1 or j == len(hs) - 1:
-                        if lo is None or acc < lo:
-                            lo = acc
-                        if hi is None or acc > hi:
-                            hi = acc
-                mins[i], maxs[i] = lo, hi
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(mins, pa.int64()), pa.array(maxs, pa.int64())],
-                names=["doc_id", "rolling_min", "rolling_max"],
-            )
-
-    return docs.select("doc_id", "text").mapInArrow(
-        fn, "doc_id long, rolling_min long, rolling_max long"
+def rolling_fingerprints_sql(table: str = "documents",
+                             window: int = ROLLING_WINDOW) -> str:
+    """DuckDB twin of ``rolling_fingerprints`` (same values, same windows)."""
+    b = ROLLING_BASE
+    full = " + ".join(
+        f"lead(wh, {j}) OVER w * {b ** (window - 1 - j)}" for j in range(window))
+    short_pow = "CASE n - 1 - pos " + " ".join(
+        f"WHEN {e} THEN {b ** e}" for e in range(window - 1)) + " END"
+    return (
+        f"WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        f"generate_subscripts(string_split(text, ' '), 1) - 1 AS pos FROM {table}), "
+        f"hashed AS (SELECT doc_id, pos, CAST(concat('0x', substring(md5(w), 1, 7)) "
+        f"AS BIGINT) AS wh, count(*) OVER (PARTITION BY doc_id) AS n FROM words), "
+        f"fps AS (SELECT doc_id, CAST(CASE WHEN n >= {window} THEN "
+        f"(CASE WHEN pos <= n - {window} THEN {full} END) "
+        f"WHEN pos = 0 THEN sum(wh * ({short_pow})) OVER "
+        f"(PARTITION BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"UNBOUNDED FOLLOWING) END AS BIGINT) AS fp FROM hashed WINDOW w AS "
+        f"(PARTITION BY doc_id ORDER BY pos)) "
+        f"SELECT doc_id, count(*) AS n_windows, min(fp) AS rolling_min, "
+        f"max(fp) AS rolling_max FROM fps WHERE fp IS NOT NULL GROUP BY doc_id"
     )
 
 

@@ -86,23 +86,36 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
             df, key_col, kind, params, num_partitions, skip_pids=skip
         )
         if fail_after is not None:
-            # simulate crash: persist only the first N new partitions
+            # simulate crash: persist only the first N new PARTITIONS —
+            # partition-atomic, never splitting a partition's shard rows
+            # (a half-persisted re-split partition would resume as "done"
+            # with a missing shard = false negatives on probe)
             rows = new_index.collect()
-            rows = sorted(rows, key=lambda r: r["partition_id"])[:fail_after]
-            new_index = spark.createDataFrame(rows, schema=INDEX_SCHEMA) if rows \
+            by_pid: dict[int, list] = {}
+            for r in rows:
+                by_pid.setdefault(r["partition_id"], []).append(r)
+            kept_pids = sorted(by_pid)[:fail_after]
+            kept = [r for pid in kept_pids for r in
+                    sorted(by_pid[pid], key=lambda r: r["shard"])]
+            new_index = spark.createDataFrame(kept, schema=INDEX_SCHEMA) if kept \
                 else spark.createDataFrame([], schema=INDEX_SCHEMA)
+            completed_now = set(kept_pids)
+        else:
+            # the full job ran every non-skipped partition to completion:
+            # partitions that produced zero rows (empty after the shuffle)
+            # are complete too — without recording them, reruns would
+            # re-execute the build forever (epoch inflation, never a no-op)
+            completed_now = set(range(num_partitions))
         new_index.write.mode("append").parquet(_state_path(checkpoint_dir))
-        written = [
-            r["partition_id"]
-            for r in spark.read.parquet(_state_path(checkpoint_dir))
-            .select("partition_id").distinct().collect()
-        ]
-        lineage["completed_partitions"] = sorted(written)
+        lineage["completed_partitions"] = sorted(set(done) | completed_now)
         lineage["epoch"] += 1
         with open(_lineage_path(checkpoint_dir), "w") as f:
             json.dump(lineage, f)
 
-    full = spark.read.parquet(_state_path(checkpoint_dir))
-    # keep one row per partition (re-runs may append duplicates; builds are
-    # deterministic so any copy is byte-identical — take the first)
+    state = _state_path(checkpoint_dir)
+    if not os.path.exists(state):  # every partition was empty: empty index
+        return spark.createDataFrame([], schema=INDEX_SCHEMA)
+    full = spark.read.parquet(state)
+    # keep one row per partition shard (re-runs may append duplicates;
+    # builds are deterministic so any copy is byte-identical — take the first)
     return full.dropDuplicates(["partition_id", "shard"])

@@ -11,7 +11,10 @@ Two layers:
    merge), then OR/max/add-merges them into a persistent per-window state
    store (parquet). Because every sketch here is a commutative monoid, late
    or out-of-order data folds in correctly regardless of arrival order —
-   the streaming/batch consistency the merge tests gate on.
+   the streaming/batch consistency the merge tests gate on. Replays are
+   handled too: foreachBatch is at-least-once, so each window records the
+   last applied batch_id and skips redelivered batches (exactly-once state
+   for additive sketches).
 
 Scale posture: state per window is one sketch payload (KB-MB), not row data;
 merge cost per batch is O(windows_touched). The foreachBatch pattern is the
@@ -73,30 +76,47 @@ class ForeachBatchSketcher:
     def _load(self, window_start: str):
         p = self._state_path(window_start)
         if not os.path.exists(p):
-            return SKETCH_KINDS[self.kind].zero(**self.params)
+            return SKETCH_KINDS[self.kind].zero(**self.params), -1
         with open(p) as f:
             obj = json.load(f)
-        return deserialize_sketch(self.kind, bytes.fromhex(obj["payload"]), obj["params"])
+        sk = deserialize_sketch(self.kind, bytes.fromhex(obj["payload"]),
+                                obj["params"])
+        return sk, obj.get("last_batch_id", -1)
 
-    def _store(self, window_start: str, sketch) -> None:
-        with open(self._state_path(window_start), "w") as f:
+    def _store(self, window_start: str, sketch, batch_id: int) -> None:
+        # write-then-rename so a crash mid-write never corrupts window state
+        path = self._state_path(window_start)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({"params": sketch.params(),
-                       "payload": sketch.serialize().hex()}, f)
+                       "payload": sketch.serialize().hex(),
+                       "last_batch_id": batch_id}, f)
+        os.replace(tmp, path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         windowed = batch_df.withColumn(
             "__w", F.date_format(F.window(F.col(self.ts_col), self.window)
-                                 .getField("start"), "yyyy-MM-dd HH:mm:ss"))
-        windows = [r["__w"] for r in windowed.select("__w").distinct().collect()]
-        for w in windows:
-            sub = windowed.filter(F.col("__w") == w)
-            states = partial_states(sub, self.key_col, self.kind, self.params)
-            rows = states.collect()
-            acc = self._load(w)
-            for r in rows:
-                acc = acc.merge(deserialize_sketch(
-                    self.kind, bytes(r["payload"]), json.loads(r["params"])))
-            self._store(w, acc)
+                                 .getField("start"), "yyyy-MM-dd HH:mm:ss")).cache()
+        try:
+            windows = [r["__w"] for r in windowed.select("__w").distinct().collect()]
+            for w in windows:
+                acc, last_id = self._load(w)
+                if batch_id <= last_id:
+                    # foreachBatch is at-least-once: a replayed micro-batch
+                    # (same id, redelivered after a failure) must not merge
+                    # twice — additive sketches (CMS/KLL/t-digest/Bloom
+                    # counters) would double-count. Batch ids are monotonic
+                    # per query, so a high-watermark per window suffices.
+                    continue
+                sub = windowed.filter(F.col("__w") == w)
+                states = partial_states(sub, self.key_col, self.kind, self.params)
+                rows = states.collect()
+                for r in rows:
+                    acc = acc.merge(deserialize_sketch(
+                        self.kind, bytes(r["payload"]), json.loads(r["params"])))
+                self._store(w, acc, batch_id)
+        finally:
+            windowed.unpersist()
 
     def results(self) -> dict[str, float]:
         """window_start -> estimate for every window seen so far."""

@@ -148,3 +148,118 @@ class TestIvf:
         assigned = ivf_assign(emb, centroids)
         assert assigned.count() == emb.count()
         assert assigned.select("cluster").distinct().count() >= 4
+
+
+class TestScaleHardening:
+    """Round-2 scale fixes: LSH hot-bucket cap, recall-1 ANN regimes,
+    materialized IVF index, convergence guard, rolling-window semantics."""
+
+    def test_lsh_hot_bucket_cap_bounds_output(self, spark, docs):
+        from filterz_spark.ops.dedup import lsh_candidate_pairs
+        # 40 copies of one doc = a degenerate bucket; cap 10 must drop it
+        hot = docs.limit(1)
+        clones = [hot.withColumn("doc_id", F.col("doc_id") + 1_000 + i)
+                  for i in range(40)]
+        poisoned = docs.limit(20)
+        for c in clones:
+            poisoned = poisoned.unionByName(c)
+        capped = lsh_candidate_pairs(poisoned, num_hashes=4, k=2,
+                                     max_bucket_size=10)
+        uncapped = lsh_candidate_pairs(poisoned, num_hashes=4, k=2,
+                                       max_bucket_size=None)
+        n_capped, n_uncapped = capped.count(), uncapped.count()
+        assert n_uncapped >= 41 * 40 // 2  # quadratic blowup without the cap
+        assert n_capped < n_uncapped / 5   # cap removes the hot bucket
+        # a no-op cap reproduces the uncapped result exactly
+        same = lsh_candidate_pairs(poisoned, num_hashes=4, k=2,
+                                   max_bucket_size=10_000)
+        assert same.count() == n_uncapped
+
+    def test_lsh_ann_all_bucket_multiprobe_equals_exact(self, spark, emb):
+        from filterz_spark.ops.similarity import cosine_topk, lsh_ann_topk
+        qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        exact = cosine_topk(emb, qvec, k=10).collect()
+        ann = lsh_ann_topk(emb, qvec, k=10, num_planes=4, multiprobe=4).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in exact] == \
+               [(r["vec_id"], r["cosine"]) for r in ann]
+
+    def test_ivf_full_probe_equals_exact_and_index_reused(self, spark, emb):
+        from filterz_spark.ops.similarity import (
+            cosine_topk, ivf_ann_topk, ivf_index, ivf_train)
+        qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        centroids = ivf_train(emb, n_clusters=8, iters=2)
+        index = ivf_index(emb, centroids)
+        exact = cosine_topk(emb, qvec, k=10).collect()
+        got = ivf_ann_topk(emb, qvec, centroids, k=10, n_probe=8,
+                           index=index).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in exact] == \
+               [(r["vec_id"], r["cosine"]) for r in got]
+        # serving from the materialized index must not re-run assignment:
+        # the executed plan reads the cached index (InMemoryTableScan); the
+        # MapInArrow assignment only appears INSIDE the InMemoryRelation's
+        # recorded lineage, never as a live stage above the scan
+        plan = ivf_ann_topk(emb, qvec, centroids, k=10, n_probe=2,
+                            index=index)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert "MapInArrow" not in plan.split("InMemoryRelation")[0]
+        index.unpersist()
+
+    def test_cosine_near_dups_defaults_to_lsh_path(self, spark, emb):
+        import inspect
+        from filterz_spark.ops.similarity import cosine_near_dup_pairs
+        sig = inspect.signature(cosine_near_dup_pairs)
+        assert sig.parameters["exact"].default is False
+        # degenerate single-bucket LSH == exact all-pairs
+        lsh = cosine_near_dup_pairs(emb, threshold=0.3, num_planes=0)
+        ex = cosine_near_dup_pairs(emb, threshold=0.3, exact=True)
+        assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, ex.collect()))
+
+    def test_simhash_recall_contract(self, spark, docs):
+        """Pairs within the advertised hamming threshold are always found
+        (pigeonhole: max_hamming+1 blocks)."""
+        from filterz_spark.ops.dedup import simhash_near_pairs
+        clone = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        near = simhash_near_pairs(docs.limit(50).unionByName(clone))
+        found = near.filter((F.col("doc_b") == F.col("doc_a") + 1_000_000)
+                            & (F.col("hamming") == 0)).count()
+        assert found == 5
+
+    def test_dedup_components_raises_on_non_convergence(self, spark):
+        from filterz_spark.ops.relational import dedup_components
+        # a path graph 0-1-2-...-29 has diameter 29 > max_iters
+        ids = spark.range(30).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(29)], "doc_a long, doc_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(pairs, ids, max_iters=3)
+        ok = dedup_components(pairs, ids, max_iters=40)
+        assert ok.filter(F.col("cluster_id") != 0).count() == 0
+
+    def test_rolling_fingerprints_window_semantics(self, spark):
+        """Order sensitivity + exact window values vs a python reference."""
+        import hashlib
+        from filterz_spark.ops.text import (
+            ROLLING_BASE, ROLLING_WINDOW, rolling_fingerprints)
+        rows = [(1, "a b c d e f g h i j"), (2, "j i h g f e d c b a"),
+                (3, "a b c"), (4, "a b c d e f g h i j")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_windows"], r["rolling_min"], r["rolling_max"])
+               for r in rolling_fingerprints(df).collect()}
+
+        def wh(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:7], 16)
+
+        def fps(text):
+            hs = [wh(w) for w in text.split(" ")]
+            if len(hs) < ROLLING_WINDOW:
+                return [sum(h * ROLLING_BASE ** (len(hs) - 1 - j)
+                            for j, h in enumerate(hs))]
+            return [sum(hs[i + j] * ROLLING_BASE ** (ROLLING_WINDOW - 1 - j)
+                        for j in range(ROLLING_WINDOW))
+                    for i in range(len(hs) - ROLLING_WINDOW + 1)]
+
+        for doc_id, text in rows:
+            exp = fps(text)
+            assert got[doc_id] == (len(exp), min(exp), max(exp))
+        assert got[1] != got[2]      # order-sensitive
+        assert got[1] == got[4]      # content-deterministic

