@@ -76,6 +76,7 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
         ("build_xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
         ("build_xorf4_16", "xorf", {"arity": 4, "fp_bits": 16}),
         ("build_ribbon64_16", "ribbon", {"coeff_bits": 64, "result_bits": 16}),
+        ("build_ribbon128_16", "ribbon", {"coeff_bits": 128, "result_bits": 16}),
     ]:
         idx = timed(label, lambda: collect_index(
             build_filter_index(keys, "k", kind, params, num_partitions=parts)))
@@ -112,6 +113,10 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
     timed("minhash_lsh", lambda: lsh_candidate_pairs(docs, 8, 3).count())
     qvec = emb.limit(1).select("embedding").collect()[0][0]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
+    from filterz_spark.ops.dedup import simhash
+    from filterz_spark.ops.text import rolling_fingerprints
+    timed("simhash_docs", lambda: simhash(docs).count())
+    timed("rolling_fps", lambda: rolling_fingerprints(docs).count())
 
     # fold in the two-cluster-size evidence if tools/scaling_bench.py has run
     scaling = None
@@ -130,6 +135,11 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
                     payload["local8"]["builds"][k]["payload_sha256"]
                     == payload["local32"]["builds"][k]["payload_sha256"]
                     for k in payload["local8"]["builds"]),
+                "build_scaling_efficiency": payload.get("efficiency"),
+                "ref_wall_ratio_local32_20m": (
+                    {k: round(payload["local32"]["builds"][k]["sec"] / ref, 2)
+                     for k, ref in payload.get("ref_walls_20m", {}).items()}
+                    if payload.get("ref_walls_20m") else None),
                 "detail": "BENCH/BASELINE.md",
             }
         except Exception:

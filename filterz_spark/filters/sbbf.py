@@ -90,6 +90,31 @@ def insert(blocks: np.ndarray, hashes: np.ndarray) -> None:
     blocks[tgt] |= reduced
 
 
+def insert_check(blocks: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Insert a batch and report, per key, whether it was maybe-present at
+    its turn (ref ``block_insert_check``/``filter_insert_check``,
+    src/sbbf.zig:45-52, :68-70 — sequential semantics, so a duplicate later
+    in the batch reports present). The C kernel is the hot path; the numpy
+    fallback loops per key over vectorized lane ops (this API exists for
+    reference parity — build-once pipelines use ``insert``)."""
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    h = hashes.astype(np.uint64, copy=False)
+    from .. import native
+    res = native.sbbf_insert_check(blocks, h)
+    if res is not None:
+        return res
+    nb = blocks.shape[0]
+    out = np.empty(h.size, dtype=bool)
+    for i in range(h.size):
+        hi = h[i : i + 1]
+        idx = _block_indices(nb, hi)[0]
+        m = _masks(hi)[0]
+        out[i] = bool(((blocks[idx] & m) == m).all())
+        blocks[idx] |= m
+    return out
+
+
 def contains(blocks: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     """Vectorized probe: bool array, True where all 8 lane bits are set
     (ref src/sbbf.zig:32-37, :60-62)."""

@@ -68,6 +68,9 @@ def _load():
         lib.sbbf_contains.argtypes = [_u64p, ctypes.c_int64, _u64p,
                                       ctypes.c_int64, _u8p]
         lib.sbbf_contains.restype = None
+        lib.sbbf_insert_check.argtypes = [_u64p, ctypes.c_int64, _u64p,
+                                          ctypes.c_int64, _u8p]
+        lib.sbbf_insert_check.restype = None
         lib.xorf_attempt.argtypes = [
             _u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -108,6 +111,21 @@ def sbbf_insert(blocks: np.ndarray, hashes: np.ndarray) -> bool:
     if b is not blocks:
         blocks[...] = b
     return True
+
+
+def sbbf_insert_check(blocks: np.ndarray, hashes: np.ndarray):
+    """Sequential insert-and-report-presence (ref sbbf.zig:45-52). Returns
+    the bool array, or None if unavailable."""
+    if not available():
+        return None
+    lib = _load()
+    b = np.ascontiguousarray(blocks, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    out = np.empty(h.size, dtype=np.uint8)
+    lib.sbbf_insert_check(b, blocks.shape[0], h, h.size, out)
+    if b is not blocks:
+        blocks[...] = b
+    return out.view(bool)
 
 
 def sbbf_contains(blocks: np.ndarray, hashes: np.ndarray):

@@ -135,3 +135,27 @@ def test_fallback_env_gate(no_native):
     assert native.sbbf_insert(np.zeros((4, 8), np.uint64),
                               np.arange(4, dtype=np.uint64)) is False
     assert native.ribbon_attempt(np.arange(4, dtype=np.uint64), 1, 100, 64, 8) is None
+
+
+class TestSbbfInsertCheck:
+    """block_insert_check parity (ref src/sbbf.zig:45-52): sequential
+    insert-and-report-presence, duplicates report present."""
+
+    def test_semantics_and_backend_equivalence(self, monkeypatch):
+        h = _keys(5_000)
+        batch = np.concatenate([h, h[:100]])  # trailing duplicates
+        b_c = sbbf.empty_blocks(h.size, 16)
+        got_c = sbbf.insert_check(b_c, batch)
+        monkeypatch.setenv("FILTERZ_NATIVE", "0")
+        b_np = sbbf.empty_blocks(h.size, 16)
+        got_np = sbbf.insert_check(b_np, batch)
+        assert np.array_equal(b_c, b_np)
+        assert np.array_equal(got_c, got_np)
+        # every trailing duplicate reports present; filter state equals
+        # a plain insert of the same batch
+        assert got_c[-100:].all()
+        b_plain = sbbf.empty_blocks(h.size, 16)
+        sbbf.insert(b_plain, batch)
+        assert np.array_equal(b_c, b_plain)
+        # fresh-key presence reports are rare (FPR-level) on first insert
+        assert got_c[:100].sum() <= 5

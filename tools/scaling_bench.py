@@ -38,8 +38,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NUM_KEYS = 20_000_000
+NUM_KEYS = 20_000_000      # reference-wall comparison (collect-included)
+SCALE_KEYS = 160_000_000   # N-vs-4N scaling workload (compute-dominated)
 PARTS = 32
+SCALE_PARTS = 64
 REPS = 3
 
 # reference single-thread walls at 21,118,154 keys (BASELINE.md,
@@ -104,6 +106,41 @@ for label, kind, params in [
         "keys_per_sec": round(total / dt),
         "sum_kernel_sec": round(sum(r["build_ns"] for r in idx) / 1e9, 3),
         "payload_sha256": dig.hexdigest(),
+    }
+keys.unpersist()
+
+# ---- scaling workload: compute-dominated, no driver-side payload collect
+# (on a real cluster the index is WRITTEN distributed, never collected; a
+# driver collect is a fixed single-point cost that anti-scales and says
+# nothing about executor scaling)
+scale_keys = int(sys.argv[5])
+scale_parts = int(sys.argv[6])
+big = (spark.range(0, scale_keys, numPartitions=scale_parts)
+       .select(F.xxhash64("id").alias("k"))
+       .repartition(scale_parts, "k").cache())
+big.count()
+out["scale"] = {"num_keys": scale_keys, "parts": scale_parts, "builds": {}}
+for label, kind, params in [
+    ("sbbf24", "sbbf", {"bits_per_key": 24}),
+    ("xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
+    ("ribbon128_16", "ribbon", {"coeff_bits": 128, "result_bits": 16}),
+]:
+    samples = []
+    kernels = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        row = (build_filter_index(big, "k", kind, params, pre_partitioned=True)
+               .groupBy().agg(F.sum("num_keys").alias("nk"),
+                              F.sum("build_ns").alias("bns")).collect()[0])
+        dt = time.monotonic() - t0
+        samples.append(round(dt, 3))
+        kernels.append(round(row["bns"] / 1e9, 3))
+    best = min(samples)
+    out["scale"]["builds"][label] = {
+        "sec": best,
+        "samples": samples,
+        "keys_per_sec": round(scale_keys / best),
+        "sum_kernel_sec": kernels[samples.index(best)],
     }
 spark.stop()
 print("SCALING_RESULT " + json.dumps(out))
@@ -189,7 +226,8 @@ def calibrate() -> dict:
 def run(cores: int) -> dict:
     proc = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO},
-         str(cores), str(NUM_KEYS), str(PARTS), str(REPS)],
+         str(cores), str(NUM_KEYS), str(PARTS), str(REPS),
+         str(SCALE_KEYS), str(SCALE_PARTS)],
         capture_output=True, text=True, timeout=3000,
     )
     for line in proc.stdout.splitlines():
@@ -261,20 +299,23 @@ def main():
         "number is the DISTRIBUTION-layer efficiency below (Spark speedup / "
         "machine ceiling for the matching kernel class).",
         "",
-        "## Spark pipeline scaling",
+        "## Spark pipeline scaling (160M keys, 64 partitions, distributed "
+        "materialization — the 20M collect-included walls above measure the "
+        "reference comparison, not scaling: at these kernel speeds a 20M "
+        "build is driver/feed-overhead-dominated)",
         "",
         "| structure | local[8] keys/s | local[32] keys/s | speedup | raw eff (/4) | vs machine ceiling | payloads byte-identical |",
         "|---|---|---|---|---|---|---|",
     ]
     effs = {}
-    for label in lo["builds"]:
-        a, b = lo["builds"][label], hi["builds"][label]
+    for label in lo["scale"]["builds"]:
+        a, b = lo["scale"]["builds"][label], hi["scale"]["builds"][label]
         speedup = a["sec"] / b["sec"]
         ceiling = calib[KIND_CEILING[label]]["speedup"]
         vs_ceiling = speedup / ceiling
         effs[label] = {"speedup": round(speedup, 2), "raw": round(speedup / 4, 2),
                        "vs_ceiling": round(vs_ceiling, 2)}
-        same = a["payload_sha256"] == b["payload_sha256"]
+        same = lo["builds"][label]["payload_sha256"] == hi["builds"][label]["payload_sha256"]
         lines.append(
             f"| {label} | {a['keys_per_sec']:,} | {b['keys_per_sec']:,} | "
             f"{speedup:.2f}x | {speedup / 4:.2f} | {vs_ceiling:.2f} | "
