@@ -359,6 +359,30 @@ def _q_kll_values(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, rank_err_ok boolean")
 
 
+def _q_theta_user_overlap(spark, sf_dir):
+    """Theta-sketch set algebra (union / intersection / difference of
+    distinct-user sets across the two lowest event types) — the query HLL
+    cannot answer. k exceeds the distinct-user count at test scale, so the
+    sketches are in their exact regime and the estimates equal the SQL set
+    operations (the oracle); saturated-regime error bounds are gated in
+    tests/test_sketches.py."""
+    from filterz_spark.spark.merge import sketch_column
+    ev = _t(spark, sf_dir, "events")
+    types = sorted(r["event_type"] for r in
+                   ev.select("event_type").distinct().collect())[:2]
+    ta, tb = types[0], types[1]
+    k = {"k": 262144}
+    sa = sketch_column(ev.filter(F.col("event_type") == ta), "user_id", "theta", k)
+    sb = sketch_column(ev.filter(F.col("event_type") == tb), "user_id", "theta", k)
+    return spark.createDataFrame(
+        [(ta, tb,
+          int(round(sa.merge(sb).estimate())),
+          int(round(sa.intersect_estimate(sb))),
+          int(round(sa.a_not_b_estimate(sb))))],
+        "type_a string, type_b string, union_users long, "
+        "intersect_users long, a_not_b_users long")
+
+
 def _q_simhash(spark, sf_dir):
     from filterz_spark.ops.dedup import simhash
     return simhash(_t(spark, sf_dir, "documents"))
@@ -440,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "tdigest_price": _q_tdigest_price,
         "kll_values": _q_kll_values,
+        "theta_user_overlap": _q_theta_user_overlap,
         "simhash_docs": _q_simhash,
         "rolling_fingerprints": _q_rolling_fingerprints,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -656,6 +681,22 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL ".join(
                 f"SELECT CAST({q} AS DOUBLE) AS q, CAST(1 AS BOOLEAN) AS rank_err_ok"
                 for q in (0.1, 0.5, 0.9, 0.99))
+        ),
+        "theta_user_overlap": (
+            "WITH t AS (SELECT DISTINCT event_type FROM events "
+            "ORDER BY event_type LIMIT 2), "
+            "a AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = (SELECT min(event_type) FROM t)), "
+            "b AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = (SELECT max(event_type) FROM t)) "
+            "SELECT (SELECT min(event_type) FROM t) AS type_a, "
+            "(SELECT max(event_type) FROM t) AS type_b, "
+            "(SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) "
+            "AS union_users, "
+            "(SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) "
+            "AS intersect_users, "
+            "(SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) "
+            "AS a_not_b_users"
         ),
         # full-value oracles: simhash and rolling fingerprints are md5-based
         # JVM computations with bit-identical DuckDB twins

@@ -12,6 +12,7 @@ from .hll import HllSketch
 from .cms import CmsSketch
 from .tdigest import TDigestSketch
 from .kll import KllSketch
+from .theta import ThetaSketch
 
 SKETCH_KINDS = {
     "bloom": BloomSketch,
@@ -19,6 +20,7 @@ SKETCH_KINDS = {
     "cms": CmsSketch,
     "tdigest": TDigestSketch,
     "kll": KllSketch,
+    "theta": ThetaSketch,
 }
 
 

@@ -193,3 +193,79 @@ class TestKll:
         s.update(np.arange(500_000, dtype=np.float64))
         stored = sum(lv.size for lv in s.levels)
         assert stored < 5_000, stored  # O((1/eps) sqrt(log 1/eps)) items
+
+
+class TestTheta:
+    """Theta/KMV sketch: distinct counting + set algebra (union/intersect/
+    difference), published bound ~1/sqrt(k-2) once saturated, exact below k."""
+
+    def _mk(self, seed, n, k=1024):
+        from filterz_spark.sketches import ThetaSketch
+        from filterz_spark.hashing import splitmix64_array
+        s = ThetaSketch.zero(k=k)
+        s.update(splitmix64_array(seed, n).view(np.int64))
+        return s
+
+    def test_exact_regime_below_k(self):
+        s = self._mk(1, 500, k=1024)
+        assert s.estimate() == 500.0
+        assert s.std_error() == 0.0
+
+    def test_saturated_within_bound(self):
+        from filterz_spark.hashing import splitmix64_array
+        from filterz_spark.sketches import ThetaSketch
+        n = 200_000
+        s = ThetaSketch.zero(k=4096)
+        s.update(splitmix64_array(3, n).view(np.int64))
+        rel = abs(s.estimate() - n) / n
+        assert rel <= 3 / np.sqrt(4094), rel  # 3 sigma of 1/sqrt(k-2)
+
+    def test_merge_bit_identical_any_order(self):
+        from filterz_spark.sketches import ThetaSketch
+        from filterz_spark.hashing import splitmix64_array
+        parts = [splitmix64_array(i, 30_000).view(np.int64) for i in range(6)]
+        def build(order):
+            sks = []
+            for i in order:
+                s = ThetaSketch.zero(k=2048)
+                s.update(parts[i])
+                sks.append(s)
+            acc = sks[0]
+            for s in sks[1:]:
+                acc = acc.merge(s)
+            return acc
+        a = build([0, 1, 2, 3, 4, 5])
+        b = build([5, 3, 1, 4, 0, 2])
+        assert a.theta == b.theta
+        assert a.serialize() == b.serialize()
+        # repartitioned: one big update == many small updates then merge
+        c = ThetaSketch.zero(k=2048)
+        c.update(np.concatenate(parts))
+        assert c.serialize() == a.serialize()
+
+    def test_set_algebra_accuracy(self):
+        from filterz_spark.sketches import ThetaSketch
+        from filterz_spark.hashing import splitmix64_array
+        # A = [0, 120k), B = [60k, 180k) of the same stream -> |A∩B| = 60k
+        stream = splitmix64_array(9, 180_000)
+        a = ThetaSketch.zero(k=4096); a.update(stream[:120_000].view(np.int64))
+        b = ThetaSketch.zero(k=4096); b.update(stream[60_000:].view(np.int64))
+        tol = 5 / np.sqrt(4094)
+        assert abs(a.merge(b).estimate() - 180_000) / 180_000 <= tol
+        assert abs(a.intersect_estimate(b) - 60_000) / 60_000 <= tol
+        assert abs(a.a_not_b_estimate(b) - 60_000) / 60_000 <= tol
+
+    def test_serde_roundtrip(self):
+        from filterz_spark.sketches import ThetaSketch
+        s = self._mk(2, 5000, k=1024)
+        t = ThetaSketch.deserialize(s.serialize(), s.params())
+        assert t.estimate() == s.estimate()
+        assert t.merge(self._mk(4, 5000, k=1024)).serialize() == \
+               s.merge(self._mk(4, 5000, k=1024)).serialize()
+
+    def test_distributed_tree_merge_exact_regime(self, spark):
+        from filterz_spark.spark.merge import sketch_column
+        from pyspark.sql import functions as F
+        df = spark.range(3000).select((F.col("id") % 977).alias("u"))
+        s = sketch_column(df, "u", "theta", {"k": 4096})
+        assert s.estimate() == 977.0

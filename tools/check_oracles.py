@@ -18,13 +18,24 @@ import duckdb  # noqa: E402
 
 
 def normalize(df):
-    """pandas df -> sorted-by-name columns, rows sorted, values canonicalized."""
+    """pandas df -> sorted-by-name columns, rows sorted, values canonicalized.
+
+    Vectorized: numeric columns round/cast column-wise and rows sort via
+    pandas (the per-row python-tuple path took >900s on a 2.27M-row result
+    at sf0.1; this takes seconds)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        k = df[c].dtype.kind
+        if k == "f":
+            df[c] = df[c].round(9)
+        elif k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "b":
+            df[c] = df[c].astype(bool)
+        else:
             df[c] = df[c].astype(str)
-    rows = [tuple(_canon(v) for v in row) for row in df.itertuples(index=False)]
-    return sorted(rows, key=repr)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 
 def _canon(v):
@@ -93,8 +104,10 @@ def main():
             failed.append(name)
             continue
         a, b = normalize(sdf), normalize(odf)
-        if a != b:
-            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        neq = ~((a.eq(b) | (a.isna() & b.isna())).all(axis=1))
+        if a.columns.tolist() != b.columns.tolist() or neq.any():
+            bad = list(zip(a[neq].head(3).itertuples(index=False, name=None),
+                           b[neq].head(3).itertuples(index=False, name=None)))
             print(f"FAIL {name}: values differ; first diffs: {bad}")
             failed.append(name)
             continue
