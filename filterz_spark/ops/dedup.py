@@ -70,9 +70,12 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     """
     sig = minhash_signatures(docs, num_hashes, k)
     if max_bucket_size is not None:
-        sizes = (sig.groupBy("band", "minhash")
-                 .agg(F.count("*").alias("bucket_n")))
-        sig = (sig.join(sizes, ["band", "minhash"])
+        # bucket size as a WINDOW count over the same (band, minhash) key
+        # the self-join shuffles on — no extra aggregation+join subtree
+        # (which would re-execute the whole signature pipeline per side)
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "minhash")
+        sig = (sig.withColumn("bucket_n", F.count("*").over(w))
                .filter(F.col("bucket_n") <= max_bucket_size)
                .drop("bucket_n"))
     a = sig.alias("a")

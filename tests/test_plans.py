@@ -75,3 +75,33 @@ def test_text_ops_stay_in_codegen(spark):
     assert "codegen id" in p  # projection fused into a WholeStageCodegen span
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
         "text ops must not fall back to Python"
+
+
+def test_simhash_and_rolling_have_no_python_stage(spark):
+    """Round-2 gate (VERDICT #3): the simhash and rolling-fingerprint
+    kernels are pure JVM (md5 + conditional aggregation / window exec) —
+    no per-row or Arrow-batched Python anywhere in their plans."""
+    from filterz_spark.ops.dedup import simhash
+    from filterz_spark.ops.text import rolling_fingerprints
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (simhash(docs), rolling_fingerprints(docs)):
+        p = plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p \
+            and "MapInArrow" not in p and "FlatMapGroupsInPandas" not in p, p
+
+
+def test_lsh_candidate_pairs_single_signature_pass(spark):
+    """The hot-bucket cap must not add a second shuffle over the signature
+    table relative to the bucket join itself (sizes join reuses the same
+    (band, minhash) partitioning)."""
+    from filterz_spark.ops.dedup import lsh_candidate_pairs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000))
+    uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None))
+    # the cap is a WINDOW count over the join's own (band, minhash) key —
+    # it must not re-execute the signature pipeline more times than the
+    # plain self-join does (an aggregate+join formulation would double the
+    # documents scans from 2 to 4)
+    n_scans = lambda p: p.count("documents.parquet")  # noqa: E731
+    assert n_scans(uncapped) == 2, uncapped
+    assert n_scans(capped) == 2, (n_scans(capped), capped[:500])
