@@ -53,4 +53,6 @@ def test_query_matches_oracle(spark, con, name):
     odf = con.execute(oracles[name]).fetchdf()
     assert len(sdf) == len(odf), name
     assert sorted(sdf.columns) == sorted(odf.columns), name
-    assert normalize(sdf) == normalize(odf), name
+    a, b = normalize(sdf), normalize(odf)
+    assert a.columns.tolist() == b.columns.tolist(), name
+    assert ((a.eq(b) | (a.isna() & b.isna())).all(axis=1)).all(), name
