@@ -87,6 +87,21 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
         throughput[label.replace("build_", "kernel_keys_per_sec_")] = round(
             total / (crit_ns / 1e9))
 
+    # kernel probe latency per structure (reference table: sbbf 7ns,
+    # xorf3 11ns, xorf4 13ns, ribbon128 36ns per query, single thread)
+    import numpy as np
+    from filterz_spark.filters import deserialize_filter
+    from filterz_spark.hashing import splitmix64_array
+    probe_keys = splitmix64_array(424242, 2_000_000)
+    for label, idx0 in indexes.items():
+        r = idx0[0]
+        filt = deserialize_filter(r["kind"], r["payload"], r["params"])
+        filt.check(probe_keys[:1000])  # warm
+        t0 = time.monotonic()
+        filt.check(probe_keys)
+        throughput[label.replace("build_", "probe_ns_per_query_")] = round(
+            (time.monotonic() - t0) / probe_keys.size * 1e9, 1)
+
     probes = orders.select(F.xxhash64("o_orderkey", "o_custkey").alias("k"))
     idx = indexes["build_xorf3_16"]
     hits = timed("probe_xorf3_16", lambda: probe_membership(probes, "k", idx)

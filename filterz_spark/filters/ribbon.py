@@ -262,6 +262,11 @@ def contains(solution: np.ndarray, seed: int, coeff_bits: int, result_bits: int,
     if num_keys == 0:
         return np.zeros(hashes.size, dtype=bool)
     h = np.asarray(hashes, dtype=np.uint64)
+    from .. import native
+    res = native.ribbon_contains(solution.astype(np.uint64, copy=False),
+                                 seed, coeff_bits, result_bits, h)
+    if res is not None:
+        return res
     size = solution.shape[0]
     start_range = size + 1 - coeff_bits
 

@@ -56,10 +56,16 @@ def _load():
             with open(c_path, "wb") as f:
                 f.write(src)
             cc = os.environ.get("CC", "gcc")
-            subprocess.run(
-                [cc, "-O3", "-fPIC", "-shared", "-o", tmp, c_path],
-                check=True, capture_output=True, timeout=120,
-            )
+            base = [cc, "-O3", "-fPIC", "-shared", "-o", tmp, c_path]
+            try:
+                # -march=native vectorizes the probe loops (every kernel is
+                # exact integer math, so codegen never changes results);
+                # fall back for compilers/platforms that reject it
+                subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                               check=True, capture_output=True, timeout=120)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True,
+                               timeout=120)
             os.replace(tmp, so_path)  # atomic: last writer wins, same bytes
         lib = ctypes.CDLL(so_path)
 
@@ -87,6 +93,11 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, _u64p,
         ]
         lib.ribbon_attempt.restype = ctypes.c_int32
+        lib.ribbon_contains.argtypes = [
+            _u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int32, _u64p, ctypes.c_int64, _u8p,
+        ]
+        lib.ribbon_contains.restype = None
         _lib = lib
     except Exception:
         _lib = False
@@ -168,6 +179,19 @@ def xorf_contains(fps_u64: np.ndarray, seed: int, arity: int,
     out = np.empty(h.size, dtype=np.uint8)
     lib.xorf_contains(f, seed & 0xFFFFFFFFFFFFFFFF, arity, segment_length,
                       segment_count_length, fp_bits, h, h.size, out)
+    return out.view(bool)
+
+
+def ribbon_contains(solution_u64: np.ndarray, seed: int, coeff_bits: int,
+                    result_bits: int, hashes: np.ndarray):
+    if not available() or coeff_bits not in (32, 64, 128) or result_bits > 32:
+        return None
+    lib = _load()
+    sol = np.ascontiguousarray(solution_u64, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    out = np.empty(h.size, dtype=np.uint8)
+    lib.ribbon_contains(sol, sol.size, seed & 0xFFFFFFFFFFFFFFFF,
+                        coeff_bits, result_bits, h, h.size, out)
     return out.view(bool)
 
 

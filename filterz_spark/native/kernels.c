@@ -245,6 +245,52 @@ void xorf_contains(const uint64_t *fps, uint64_t seed, int32_t arity,
 
 /* ---------------- ribbon (ref src/ribbon.zig) ---------------- */
 
+/* Vectorized-batch ribbon probe (ref src/ribbon.zig:141-192): recompute
+ * the key's start/coeff/result, XOR the solution rows selected by the
+ * coefficient bits, compare. Solution rows arrive widened to u64. */
+void ribbon_contains(const uint64_t *solution, int64_t size, uint64_t seed,
+                     int32_t coeff_bits, int32_t result_bits,
+                     const uint64_t *hashes, int64_t n, uint8_t *out) {
+    int64_t start_range = size + 1 - coeff_bits;
+    uint64_t w = (uint64_t)(coeff_bits / 8);
+    uint64_t rmask = result_bits >= 64 ? ~0ULL : ((1ULL << result_bits) - 1);
+    uint64_t sa = seed * 0x876f170be4f1fcb9ULL;
+    uint64_t sb = seed * 0xf0433a4aecda4c5fULL;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = hashes[i];
+        uint64_t hash0 = seed ^ h;
+        uint64_t h32 = (hash0 ^ (hash0 >> 32)) & 0xffffffffULL;
+        uint64_t smash = (((uint64_t)start_range + w * 2) * h32) >> 32;
+        uint64_t pos = smash > w ? smash - w : 0;
+        uint64_t lim = (uint64_t)(start_range - 1);
+        int64_t start = (int64_t)(pos < lim ? pos : lim);
+        uint64_t expected = ((hash0 >> 32) ^ hash0) & rmask;
+        uint64_t acc = 0;
+        /* iterate set coefficient bits only (~half the window; measured
+         * 105 -> 65 ns/q for u128 vs the dense masked loop) */
+        if (coeff_bits == 128) {
+            uint64_t chi = sa ^ h;
+            uint64_t clo = (sb ^ __builtin_bswap64(h)) | 1ULL;
+            while (clo) {
+                acc ^= solution[start + __builtin_ctzll(clo)];
+                clo &= clo - 1;
+            }
+            while (chi) {
+                acc ^= solution[start + 64 + __builtin_ctzll(chi)];
+                chi &= chi - 1;
+            }
+        } else {
+            uint64_t cr = coeff_bits == 32 ? ((hash0 & 0xffffffffULL) | 1ULL)
+                                           : (hash0 | 1ULL);
+            while (cr) {
+                acc ^= solution[start + __builtin_ctzll(cr)];
+                cr &= cr - 1;
+            }
+        }
+        out[i] = acc == expected;
+    }
+}
+
 /* Full construction attempt: per-key params (ref src/ribbon.zig:9-49),
  * single-pass stable bucket sort by the top 16 bits of start position
  * (ascending-ish insertion keeps elimination cascades cache-local;
