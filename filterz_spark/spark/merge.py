@@ -105,8 +105,13 @@ def tree_merge(states: DataFrame, fanin: int = 32,
     of the input (one state row per partition) — a metadata lookup, not a
     job — so the whole merge is a single pass with no count()/recompute.
     """
-    n = num_states_hint if num_states_hint is not None \
-        else states.rdd.getNumPartitions()
+    if num_states_hint is not None:
+        n = num_states_hint
+    else:
+        # JVM-side partition count of the planned query — unlike `.rdd`,
+        # this never builds the python-serialized RDD wrapper (it only
+        # plans, which the merge job would do anyway)
+        n = states._jdf.queryExecution().toRdd().getNumPartitions()
     cur = states
     divisor = fanin
     while n > fanin:

@@ -107,3 +107,45 @@ def test_foreachbatch_replay_is_idempotent(spark, stream_dirs):
             changed |= _json.load(f)["payload"] != payload
     assert changed
     batch.unpersist()
+
+
+def test_apply_in_pandas_with_state_hll_windows(spark, stream_dirs):
+    """Engine-state-store variant (applyInPandasWithState): final per-window
+    HLL estimates must match the batch exact counts within the published
+    3-sigma bound despite out-of-order arrival, and must agree with a batch
+    HLL over the same data (same kernels -> same estimate)."""
+    from filterz_spark.sketches import HllSketch
+    from filterz_spark.spark.merge import sketch_column
+    from filterz_spark.streaming.stateful import stateful_window_sketches
+
+    base, src, events = stream_dirs
+    stream = _read_stream(spark, src, events.schema)
+    out = stateful_window_sketches(stream, ts_col="ts", key_col="user_id",
+                                   kind="hll", params={"p": 14},
+                                   window="1 day")
+    q = (out.writeStream.format("memory").queryName("state_sketch")
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(base, "ckpt_state"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # update mode emits one row per touched window per batch: keep the last
+    rows = spark.sql(
+        "SELECT window_start, estimate FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY window_start "
+        "ORDER BY n_updates DESC) AS rn FROM state_sketch) WHERE rn = 1"
+    ).collect()
+    got = {r["window_start"]: r["estimate"] for r in rows}
+    exact = {r["d"].strftime("%Y-%m-%d %H:%M:%S"): r["n"] for r in
+             events.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    se = HllSketch.zero(p=14).std_error()
+    for w, est in got.items():
+        assert abs(est - exact[w]) <= 3 * se * exact[w], (w, est, exact[w])
+    # streaming estimate == batch estimate (identical sketch kernels)
+    for w in list(got)[:2]:
+        batch_est = sketch_column(
+            events.filter(F.date_format(F.date_trunc("day", "ts"),
+                                        "yyyy-MM-dd HH:mm:ss") == w),
+            "user_id", "hll", {"p": 14}).estimate()
+        assert abs(batch_est - got[w]) < 1e-6, (w, batch_est, got[w])
