@@ -125,7 +125,8 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
     throughput["sketch_rows_per_sec_hll"] = round(n_keys / queries["hll_distinct"])
 
     timed("dedup_exact", lambda: exact_dedup(docs).count())
-    timed("minhash_lsh", lambda: lsh_candidate_pairs(docs, 8, 3).count())
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(
+        docs, 8, 3, materialize_signatures=True).count())
     qvec = emb.limit(1).select("embedding").collect()[0][0]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
     from filterz_spark.ops.dedup import simhash

@@ -55,7 +55,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2) -> Data
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
-                        max_bucket_size: int | None = 10_000) -> DataFrame:
+                        max_bucket_size: int | None = 10_000,
+                        materialize_signatures: bool = False) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
@@ -67,8 +68,16 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     go quadratic. Buckets above the cap are dropped from candidate
     generation (their members are boilerplate-identical; handle them with
     exact_dedup, which is linear). None disables the cap.
+
+    ``materialize_signatures=True`` localCheckpoints the signature table
+    before the self-join: Catalyst does not share the subtree between the
+    join sides, so the lazy form runs the shingle+md5 pipeline twice (~25%
+    wall at bench scale). At corpus scale the signature table is persisted
+    storage anyway — this flag is the in-session equivalent.
     """
     sig = minhash_signatures(docs, num_hashes, k)
+    if materialize_signatures:
+        sig = sig.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         # bucket size as a WINDOW count over the same (band, minhash) key
         # the self-join shuffles on — no extra aggregation+join subtree
