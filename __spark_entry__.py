@@ -645,6 +645,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id "
             "ORDER BY cnt DESC, user_id LIMIT 20"
         ),
+        # NOTE: this recursive closure enumerates O(sum cluster_size^2)
+        # tuples single-threaded in DuckDB — exact and fine at the driver's
+        # sf0.01 gate (~40s); at sf0.1 the LSH graph is one 5000-doc
+        # component and the closure takes >90min (the SPARK side finishes in
+        # seconds; structure cross-checked there with a union-find instead)
         "dedup_clusters": (
             f"WITH RECURSIVE sig AS ({minhash_sql}), "
             "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "

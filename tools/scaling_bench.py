@@ -236,8 +236,11 @@ def run(cores: int) -> dict:
     raise RuntimeError(f"child failed (cores={cores}):\n{proc.stderr[-3000:]}")
 
 
-KIND_CEILING = {"sbbf24": "numpy_membound", "xorf3_16": "numpy_membound",
-                "xorf4_16": "numpy_membound", "ribbon64_16": "int_loop",
+# all construction kernels are compiled C since round 2 — compute-bound,
+# so the int_loop multiprocessing ceiling is the comparator for every kind
+# (numpy_membound is kept in the calibration table as the contrast case)
+KIND_CEILING = {"sbbf24": "int_loop", "xorf3_16": "int_loop",
+                "xorf4_16": "int_loop", "ribbon64_16": "int_loop",
                 "ribbon128_16": "int_loop"}
 
 
