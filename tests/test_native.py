@@ -159,3 +159,22 @@ class TestSbbfInsertCheck:
         assert np.array_equal(b_c, b_plain)
         # fresh-key presence reports are rare (FPR-level) on first insert
         assert got_c[:100].sum() <= 5
+
+
+def test_broken_compiler_falls_back_to_numpy(monkeypatch, tmp_path):
+    """With no working C compiler and no cached .so, the library must fall
+    back to the numpy kernels transparently (available() False, filters
+    still correct)."""
+    import tempfile
+    monkeypatch.setenv("CC", "/bin/false")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(native, "_lib", None)  # force a fresh load attempt
+    try:
+        assert native.available() is False
+        h = _keys(5_000)
+        hdr, fp = xorf.construct(h, 3, 16)
+        assert xorf.contains(hdr, fp, 3, 16, h).all()
+        seed, sol = ribbon.construct(h, 64, 8)
+        assert ribbon.contains(sol, seed, 64, 8, h.size, h).all()
+    finally:
+        monkeypatch.setattr(native, "_lib", None)  # re-probe real gcc later
