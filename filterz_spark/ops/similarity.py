@@ -111,16 +111,17 @@ def ivf_train(embeddings: DataFrame, n_clusters: int = 16, iters: int = 5,
     for _ in range(iters):
         assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
         joined = assigned.join(embeddings.select(id_col, vec_col), id_col)
+        # re-center via posexplode + groupBy(cluster, dim): one aggregate
+        # regardless of dimensionality (an avg() PER DIMENSION compiles
+        # dim separate aggregate expressions — a planner/codegen blowup at
+        # 768-dim embedding widths)
         sums = (
-            joined.groupBy("cluster")
-            .agg(F.array(*[
-                F.avg(F.col(vec_col).getItem(i).cast("double"))
-                for i in range(centroids.shape[1])
-            ]).alias("c"))
+            joined.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cluster", "d").agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
         )
         for r in sums:
-            centroids[r["cluster"]] = np.array(r["c"], dtype=np.float64)
+            centroids[r["cluster"]][r["d"]] = r["m"]
     return centroids
 
 
