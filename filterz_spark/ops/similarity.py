@@ -28,6 +28,17 @@ def _dot_expr(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _batch_matrix(list_array: pa.Array) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float64 matrix WITHOUT the
+    per-row python objects of ``to_pylist()`` (flatten is zero-copy on the
+    values buffer; embeddings are fixed-width, nulls absent)."""
+    n = len(list_array)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = list_array.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, flat.size // n)
+
+
 def cosine_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Brute-force cosine top-k against a literal query vector.
@@ -65,8 +76,7 @@ def _bucket_fn(num_planes: int, id_col: str, vec_col: str):
         planes = None
         for batch in batches:
             ids = batch.column(0)
-            vecs = batch.column(1)
-            mat = np.asarray(vecs.to_pylist(), dtype=np.float64)
+            mat = _batch_matrix(batch.column(1))
             if mat.size == 0:
                 continue  # defer plane init past empty batches (dim unknown)
             if planes is None:
@@ -136,7 +146,7 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
         cn[cn == 0] = 1.0
         for batch in batches:
             ids = batch.column(0)
-            mat = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            mat = _batch_matrix(batch.column(1))
             if mat.size == 0:
                 continue
             sims = (mat @ c.T) / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12) / cn
