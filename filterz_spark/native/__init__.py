@@ -53,10 +53,16 @@ def _load():
             os.makedirs(cache, exist_ok=True)
             c_path = os.path.join(cache, "kernels.c")
             tmp = f"{so_path}.tmp.{os.getpid()}"
-            with open(c_path, "wb") as f:
+            # compile from a PER-PID source copy and only then publish it
+            # atomically: a concurrent worker must never read a half-written
+            # shared kernels.c (a truncated source fails both compile
+            # attempts and silently drops that worker to the numpy fallback,
+            # breaking cross-run payload byte-determinism for xorf)
+            c_tmp = os.path.join(cache, f"kernels.tmp.{os.getpid()}.c")
+            with open(c_tmp, "wb") as f:
                 f.write(src)
             cc = os.environ.get("CC", "gcc")
-            base = [cc, "-O3", "-fPIC", "-shared", "-o", tmp, c_path]
+            base = [cc, "-O3", "-fPIC", "-shared", "-o", tmp, c_tmp]
             try:
                 # -march=native vectorizes the probe loops (every kernel is
                 # exact integer math, so codegen never changes results);
@@ -66,6 +72,7 @@ def _load():
             except subprocess.CalledProcessError:
                 subprocess.run(base, check=True, capture_output=True,
                                timeout=120)
+            os.replace(c_tmp, c_path)  # publish source for debugging
             os.replace(tmp, so_path)  # atomic: last writer wins, same bytes
         lib = ctypes.CDLL(so_path)
 

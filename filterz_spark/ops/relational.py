@@ -106,11 +106,16 @@ def dedup_components(pairs: DataFrame, all_ids: DataFrame,
         )
         if it % check_every == 0 or it == max_iters:
             # cut lineage, then one cheap agg on the materialized labels:
-            # labels only DECREASE, so an unchanged label sum across a
-            # whole check window means fixpoint (sum is exact in int64 at
-            # any realistic id range x corpus size)
+            # labels only DECREASE, so an unchanged signature across a whole
+            # check window means fixpoint. bit_xor(xxhash64(label)) is the
+            # primary aggregate: order-independent, overflow-free at any
+            # scale (a long sum of 63-bit hashed ids overflows — wrapping
+            # silently in non-ANSI mode, raising in ANSI mode), and any
+            # change in the label multiset flips it with overwhelming
+            # probability; avg adds an independent aliasing check.
             labels = labels.localCheckpoint(eager=True)
-            sig = tuple(labels.agg(F.sum("label"), F.count("*")).collect()[0])
+            sig = tuple(labels.agg(F.bit_xor(F.xxhash64("label")), F.count("*"),
+                                   F.avg("label")).collect()[0])
             if sig == last_sig:
                 converged = True
                 break

@@ -60,13 +60,23 @@ class ForeachBatchSketcher:
 
     def __init__(self, state_dir: str, kind: str = "hll", params: dict | None = None,
                  ts_col: str = "ts", key_col: str = "user_id",
-                 window: str = "1 hour") -> None:
+                 window: str = "1 hour", run_token: str | None = None) -> None:
+        """``run_token`` ties the replay guard to one streaming-checkpoint
+        lineage: batch ids are monotonic PER CHECKPOINT, so restarting a
+        query with a fresh checkpointLocation while reusing the same
+        state_dir would reset ids to 0 and the plain high-watermark would
+        silently skip genuinely new batches as replays. Pass the
+        checkpointLocation (the natural token) — when the stored token
+        differs, the per-window watermark resets and new batches merge.
+        With ``run_token=None`` the guard keys on batch_id alone, which is
+        only safe while state_dir lifetime matches checkpoint lifetime."""
         self.state_dir = state_dir
         self.kind = kind
         self.params = params or {}
         self.ts_col = ts_col
         self.key_col = key_col
         self.window = window
+        self.run_token = run_token
         os.makedirs(state_dir, exist_ok=True)
 
     def _state_path(self, window_start: str) -> str:
@@ -81,6 +91,8 @@ class ForeachBatchSketcher:
             obj = json.load(f)
         sk = deserialize_sketch(self.kind, bytes.fromhex(obj["payload"]),
                                 obj["params"])
+        if self.run_token is not None and obj.get("run_token") != self.run_token:
+            return sk, -1  # new checkpoint lineage: batch ids restart at 0
         return sk, obj.get("last_batch_id", -1)
 
     def _store(self, window_start: str, sketch, batch_id: int) -> None:
@@ -90,7 +102,8 @@ class ForeachBatchSketcher:
         with open(tmp, "w") as f:
             json.dump({"params": sketch.params(),
                        "payload": sketch.serialize().hex(),
-                       "last_batch_id": batch_id}, f)
+                       "last_batch_id": batch_id,
+                       "run_token": self.run_token}, f)
         os.replace(tmp, path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
