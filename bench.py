@@ -13,6 +13,10 @@ Reported rates:
 
 A warm-up pass spins up the Python workers and JIT paths first, like the
 reference warms its section loop; the measured pass is steady-state.
+Every query is timed best-of-N (SPARK_GRAFT_REPS, default 3) with all raw
+samples attached under ``query_samples`` — this host shows ~10x bimodal
+wall-clock stalls (BENCH/BASELINE.md), so a single sample per round
+manufactures phantom regressions between rounds.
 
 Scaling evidence (north rule: two cluster sizes) comes from
 tools/scaling_bench.py (local[8] vs local[32], separate processes) ->
@@ -31,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
+def run_bench(sf_dir: str, cores: int, parts: int | None = None,
+              reps: int = 3) -> dict:
     from filterz_spark.spark.session import get_session
     from filterz_spark.spark.build import build_filter_index
     from filterz_spark.spark.probe import collect_index, probe_membership
@@ -62,13 +67,27 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
     collect_index(build_filter_index(keys, "k", "sbbf", {"bits_per_key": 8}, parts))
 
     queries: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
     throughput: dict[str, float] = {}
     indexes = {}
 
     def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        queries[name] = round(time.monotonic() - t0, 3)
+        # best-of-reps with all samples attached: this virtualized host has
+        # documented ~10x bimodal stalls (BENCH/BASELINE.md), so a single
+        # sample manufactures phantom regressions; the best wall tracks the
+        # engine, the samples expose the noise
+        out = None
+        best = None
+        samples = []
+        for _ in range(max(reps, 1)):
+            t0 = time.monotonic()
+            res = fn()
+            dt = time.monotonic() - t0
+            samples.append(round(dt, 3))
+            if best is None or dt < best:
+                best, out = dt, res
+        queries[name] = round(best, 3)
+        query_samples[name] = samples
         return out
 
     for label, kind, params in [
@@ -97,10 +116,14 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
         r = idx0[0]
         filt = deserialize_filter(r["kind"], r["payload"], r["params"])
         filt.check(probe_keys[:1000])  # warm
-        t0 = time.monotonic()
-        filt.check(probe_keys)
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.monotonic()
+            filt.check(probe_keys)
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
         throughput[label.replace("build_", "probe_ns_per_query_")] = round(
-            (time.monotonic() - t0) / probe_keys.size * 1e9, 1)
+            best / probe_keys.size * 1e9, 1)
 
     probes = orders.select(F.xxhash64("o_orderkey", "o_custkey").alias("k"))
     idx = indexes["build_xorf3_16"]
@@ -166,7 +189,9 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
         "metric": "headline suite wall seconds (filter builds + probe + sketches + dedup/similarity)",
         "value": total,
         "unit": "sec",
+        "reps": reps,
         "queries": queries,
+        "query_samples": query_samples,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cores,
         "num_keys": n_keys,
@@ -182,4 +207,5 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, cores)))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    print(json.dumps(run_bench(sf_dir, cores, reps=reps)))
