@@ -200,8 +200,13 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from filterz_spark.ops.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=2, min_jaccard=0.1)
+    """Signature table computed ONCE (array form, materialized) and shared
+    by the LSH candidate stage — the corpus-scale shape: signatures are
+    persisted storage, candidates and verification both read them."""
+    from filterz_spark.ops.dedup import minhash_signature_arrays, ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature_arrays(docs, num_hashes=8, k=2).localCheckpoint(eager=True)
+    return ngram_jaccard_pairs(docs, k=2, min_jaccard=0.1, signatures=sig)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -247,10 +252,12 @@ def _q_user_sessions(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    from filterz_spark.ops.dedup import lsh_candidate_pairs
+    from filterz_spark.ops.dedup import lsh_candidate_pairs, minhash_signature_arrays
     from filterz_spark.ops.relational import dedup_components
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, num_hashes=8, k=2).select("doc_a", "doc_b")
+    sig = minhash_signature_arrays(docs, num_hashes=8, k=2).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, k=2,
+                                signatures=sig).select("doc_a", "doc_b")
     return dedup_components(pairs, docs.select("doc_id"), max_iters=30)
 
 

@@ -43,27 +43,48 @@ def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2) -> DataFrame:
-    """Long-format MinHash signature: (doc_id, band, minhash).
+def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
+                             k: int = 2) -> DataFrame:
+    """Banded MinHash signature, ONE row per doc: (doc_id, sig array<string>).
 
     Hash family: md5 of 'band:shingle' — band-salted md5, identical in DuckDB
     so the full signature is oracle-checkable. minhash = lexicographic min of
     fixed-width hex = numeric min of the underlying 128-bit value.
+
+    This is the storage/compute form: all ``num_hashes`` band hashes are
+    computed as columns of the SAME shingle row and reduced in one
+    groupBy(doc_id) with per-band min aggregates — no band-replication of
+    the shingle rows (the former crossJoin form shuffled num_hashes x
+    n_shingles rows through a (doc_id, band) aggregate; this shuffles only
+    map-side-combined partials, one row per doc per map partition). At
+    corpus scale this table is what you persist; downstream consumers
+    explode it on demand.
     """
     sh = shingles(docs, k=k)
-    bands = docs.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("band"))
-    return (
-        sh.crossJoin(F.broadcast(bands))
-        .select("doc_id", "band",
-                F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("h"))
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
-    )
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(b), F.col("shingle")))).alias(f"m{b}")
+        for b in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"m{b}" for b in range(num_hashes)]).alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
+                       signatures: DataFrame | None = None) -> DataFrame:
+    """Long-format MinHash signature: (doc_id, band, minhash) — the join
+    form, an explode of the array form (pass a precomputed/materialized
+    ``signatures`` array table to share one signature pass across the
+    LSH -> Jaccard -> components pipeline)."""
+    arr = signatures if signatures is not None \
+        else minhash_signature_arrays(docs, num_hashes, k)
+    return arr.select("doc_id", F.posexplode("sig").alias("band", "minhash"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                         max_bucket_size: int | None = 10_000,
-                        materialize_signatures: bool = False) -> DataFrame:
+                        materialize_signatures: bool = True,
+                        signatures: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
@@ -76,15 +97,21 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     generation (their members are boilerplate-identical; handle them with
     exact_dedup, which is linear). None disables the cap.
 
-    ``materialize_signatures=True`` localCheckpoints the signature table
-    before the self-join: Catalyst does not share the subtree between the
-    join sides, so the lazy form runs the shingle+md5 pipeline twice (~25%
-    wall at bench scale). At corpus scale the signature table is persisted
-    storage anyway — this flag is the in-session equivalent.
+    ``materialize_signatures`` (default True) localCheckpoints the compact
+    array-form signature table (one row per doc) before the self-join:
+    Catalyst does not share the subtree between the join sides, so the lazy
+    form runs the shingle+md5 pipeline twice. The materialized table is tiny
+    relative to the corpus (num_hashes hex strings per doc) — at corpus
+    scale it is persisted storage anyway. Pass ``materialize_signatures=
+    False`` only when a localCheckpoint is unaffordable (no storage), or
+    supply your own (materialized) ``signatures`` array table to share it
+    across the candidate -> Jaccard -> components pipeline.
     """
-    sig = minhash_signatures(docs, num_hashes, k)
-    if materialize_signatures:
-        sig = sig.localCheckpoint(eager=True)
+    sig_arr = signatures if signatures is not None \
+        else minhash_signature_arrays(docs, num_hashes, k)
+    if materialize_signatures and signatures is None:
+        sig_arr = sig_arr.localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, num_hashes, k, signatures=sig_arr)
     if max_bucket_size is not None:
         # bucket size as a WINDOW count over the same (band, minhash) key
         # the self-join shuffles on — no extra aggregation+join subtree
@@ -106,11 +133,18 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
-                        num_hashes: int = 8) -> DataFrame:
+                        num_hashes: int = 8,
+                        signatures: DataFrame | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Exact k-gram Jaccard for LSH candidate pairs (verification stage).
 
-    (doc_a, doc_b, jaccard) for candidates with jaccard >= min_jaccard."""
-    cand = lsh_candidate_pairs(docs, num_hashes=num_hashes, k=k).select("doc_a", "doc_b")
+    (doc_a, doc_b, jaccard) for candidates with jaccard >= min_jaccard.
+    Pass ``signatures`` (array form) and/or ``candidates`` to reuse work
+    already done by an upstream LSH stage instead of recomputing it."""
+    if candidates is None:
+        candidates = lsh_candidate_pairs(docs, num_hashes=num_hashes, k=k,
+                                         signatures=signatures)
+    cand = candidates.select("doc_a", "doc_b")
     sets = (
         shingles(docs, k=k).groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))

@@ -91,17 +91,37 @@ def test_simhash_and_rolling_have_no_python_stage(spark):
 
 
 def test_lsh_candidate_pairs_single_signature_pass(spark):
-    """The hot-bucket cap must not add a second shuffle over the signature
-    table relative to the bucket join itself (sizes join reuses the same
-    (band, minhash) partitioning)."""
+    """The signature pipeline must execute exactly ONCE for the default
+    candidate-pair plan, and the hot-bucket cap must not add signature
+    re-executions relative to the bucket join itself."""
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_scans = lambda p: p.count("documents.parquet")  # noqa: E731
+    # default: array-form signatures are materialized (localCheckpoint), so
+    # BOTH self-join sides read the checkpointed table — zero re-scans of
+    # the corpus, one signature pass total
     capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000))
     uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None))
-    # the cap is a WINDOW count over the join's own (band, minhash) key —
-    # it must not re-execute the signature pipeline more times than the
-    # plain self-join does (an aggregate+join formulation would double the
-    # documents scans from 2 to 4)
-    n_scans = lambda p: p.count("documents.parquet")  # noqa: E731
-    assert n_scans(uncapped) == 2, uncapped
-    assert n_scans(capped) == 2, (n_scans(capped), capped[:500])
+    assert n_scans(capped) == 0, (n_scans(capped), capped[:500])
+    assert n_scans(uncapped) == 0, uncapped
+    # lazy opt-out: the self-join re-executes the signature subtree per
+    # side (2 scans); the cap's WINDOW count — keyed on the join's own
+    # (band, minhash) — must not add more (an aggregate+join formulation
+    # would double the scans to 4)
+    lazy_capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000,
+                                           materialize_signatures=False))
+    lazy_uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None,
+                                             materialize_signatures=False))
+    assert n_scans(lazy_uncapped) == 2, lazy_uncapped
+    assert n_scans(lazy_capped) == 2, (n_scans(lazy_capped), lazy_capped[:500])
+
+
+def test_minhash_signature_single_doc_aggregate(spark):
+    """Array-form signatures reduce in ONE groupBy(doc_id) — no band
+    replication of shingle rows (the former crossJoin form shuffled
+    num_hashes x n_shingles rows), and exactly one exchange."""
+    from filterz_spark.ops.dedup import minhash_signature_arrays
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(minhash_signature_arrays(docs, 8, 2), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
