@@ -130,6 +130,25 @@ def _q_membership_partkey_sbbf(spark, sf_dir):
             .filter("maybe_present").select("key"))
 
 
+def _q_membership_orderkey_cogrouped(spark, sf_dir):
+    """DISTRIBUTED probe path (spark/probe.py strategy 3): the filter index
+    stays a DataFrame, each probe key is routed JVM-side to the partition
+    that built its filter, and a cogrouped applyInPandas checks only that
+    partition's shards. fp32 + single-filter FPR + deterministic seeds =>
+    result equals the semi-join (present keys) exactly."""
+    from filterz_spark.spark.build import build_filter_index
+    from filterz_spark.spark.probe import probe_membership_cogrouped
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    idx_df = build_filter_index(orders, "o_orderkey", "xorf",
+                                {"arity": 3, "fp_bits": 32}, 8)
+    probes = (li.select(F.col("l_orderkey").alias("key")).distinct()
+              .unionAll(li.select((F.col("l_orderkey") + 1_000_000_000)
+                                  .alias("key")).distinct()))
+    return (probe_membership_cogrouped(probes, "key", idx_df, 8)
+            .filter("maybe_present").select("key"))
+
+
 def _q_bloom_orderkey(spark, sf_dir):
     """Mergeable Bloom built through the distributed tree-merge, probed with
     inserted keys (zero-FN => equals DISTINCT l_orderkey)."""
@@ -448,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_custkey_xorf": _q_membership_custkey_xorf,
         "membership_suppkey_ribbon": _q_membership_suppkey_ribbon,
         "membership_partkey_sbbf": _q_membership_partkey_sbbf,
+        "membership_orderkey_cogrouped": _q_membership_orderkey_cogrouped,
         "bloom_orderkey": _q_bloom_orderkey,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -550,6 +570,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "membership_partkey_sbbf": (
             "SELECT DISTINCT l_partkey AS key FROM lineitem"
+        ),
+        # every l_orderkey references an order, so the present half is the
+        # distinct key set; shifted keys are absent and fp32 single-filter
+        # FPR with deterministic seeds yields no false positives here
+        "membership_orderkey_cogrouped": (
+            "SELECT DISTINCT l_orderkey AS key FROM lineitem"
         ),
         "bloom_orderkey": "SELECT DISTINCT l_orderkey AS key FROM lineitem",
         "token_counts": (

@@ -21,21 +21,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 def filter_prefiltered_join(probe_df: DataFrame, build_df: DataFrame,
                             probe_key: str, build_key: str,
                             kind: str = "xorf", params: dict | None = None,
-                            num_partitions: int = 8) -> DataFrame:
+                            num_partitions: int = 8,
+                            probe_mode: str = "broadcast") -> DataFrame:
     """Inner join probe_df x build_df with a membership-filter pre-pass.
 
     Returns the joined rows (probe columns + build columns). Correctness:
     zero FN guarantees no lost matches; FP rows are eliminated by the real
     join, so the result set is EXACTLY the plain join (oracle-checkable).
+
+    ``probe_mode="broadcast"`` (default) collects the index once and ships
+    it as a broadcast variable — map-only pre-filter, right while the index
+    fits executor memory. ``probe_mode="cogrouped"`` keeps the index
+    distributed (spark/probe.py strategy 3) — for build sides whose filter
+    index exceeds driver/executor memory; costs one extra shuffle of the
+    probe side but each key then sees only its own partition's filter
+    (lower FPR -> fewer wasted shuffle rows into the real join).
     """
     from ..spark.build import build_filter_index
-    from ..spark.probe import collect_index, probe_membership
+    from ..spark.probe import (collect_index, probe_membership,
+                               probe_membership_cogrouped)
 
     params = params or {"arity": 3, "fp_bits": 16}
-    idx = collect_index(build_filter_index(build_df, build_key, kind, params,
-                                           num_partitions))
-    pre = probe_membership(probe_df, probe_key, idx).filter("maybe_present") \
-        .drop("maybe_present")
+    idx_df = build_filter_index(build_df, build_key, kind, params,
+                                num_partitions)
+    if probe_mode == "cogrouped":
+        pre = probe_membership_cogrouped(probe_df, probe_key, idx_df,
+                                         num_partitions)
+    else:
+        pre = probe_membership(probe_df, probe_key, collect_index(idx_df))
+    pre = pre.filter("maybe_present").drop("maybe_present")
     return pre.join(build_df, pre[probe_key] == build_df[build_key])
 
 

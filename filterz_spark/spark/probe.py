@@ -2,16 +2,32 @@
 
 The reference probes every section's filter for every query key and counts
 hits (src/bench.zig:228-233): a hit means "this section may contain the key,
-pay the 200us read" (README.md:47). Here the filter index (small: one row
-per partition) is collected and broadcast; the probe DataFrame is hashed
-JVM-side and each Arrow batch is checked against every filter vectorized —
-the OR-over-partitions semantics of the section model.
+pay the 200us read" (README.md:47). Three probe strategies, by index size:
 
-Scale posture: the index is P rows of a few hundred KB each; broadcasting it
-is exactly the Parquet row-group bloom pattern. The probe side never
-shuffles — membership is a map-only operation over the probe table. The
-aggregate FPR across S partition filters grows ~ S * p (SURVEY.md §7.3);
-``expected_fpr`` surfaces it so callers size fp_bits for their S.
+1. ``probe_membership`` (default): the index is collected once and shipped
+   as a Spark BROADCAST VARIABLE — one torrent-distributed copy per
+   executor, NOT a copy inside every pickled task closure — and each Arrow
+   batch of the probe side is checked against every filter vectorized (the
+   OR-over-partitions semantics of the section model). Map-only: the probe
+   side never shuffles.
+2. Pre-broadcast with ``broadcast_index`` and pass the handle to any number
+   of ``probe_membership`` calls — amortizes the one driver->executor
+   transfer across a query workload.
+3. ``probe_membership_cogrouped``: for indexes too large to collect on the
+   driver at all (10^5+ partitions x ~500KB payloads), the index STAYS a
+   DataFrame. Each probe key is routed to the partition that built its
+   filter (the build's own hash-placement function, reproduced JVM-side),
+   and a cogrouped applyInPandas checks each key against only that
+   partition's shard filters. Costs one shuffle of the probe side; payload
+   bytes move executor<->executor only (never through the driver), each
+   exactly once.
+
+Scale posture: at the reference's 50-section scale the broadcast path is
+exactly the Parquet row-group bloom pattern. The aggregate FPR across S
+partition filters grows ~ S * p for the OR-probe (SURVEY.md §7.3) —
+``expected_fpr`` surfaces it so callers size fp_bits for their S; the
+cogrouped probe checks ONE partition per key, so its FPR stays the
+per-filter p at any S.
 """
 
 from __future__ import annotations
@@ -20,6 +36,7 @@ import json
 from typing import Iterator
 
 import pyarrow as pa
+from pyspark import Broadcast
 from pyspark.sql import DataFrame, functions as F
 
 from ..filters import deserialize_filter
@@ -58,10 +75,19 @@ def collect_index(index_df: DataFrame) -> list[dict]:
     ]
 
 
-def _probe_fn(index_rows: list[dict], hash_col_idx: int, out_cols: list[str]):
+def broadcast_index(spark, index_rows: list[dict]) -> Broadcast:
+    """Ship a collected filter index to the executors ONCE (torrent
+    broadcast) and reuse the handle across many ``probe_membership`` calls.
+    Destroy with ``.unpersist()`` when the query workload is done."""
+    return spark.sparkContext.broadcast(index_rows)
+
+
+def _probe_fn(index: list[dict] | Broadcast, hash_col_idx: int,
+              out_cols: list[str]):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
+        index_rows = index.value if isinstance(index, Broadcast) else index
         filters = [
             deserialize_filter(r["kind"], r["payload"], r["params"])
             for r in index_rows
@@ -84,14 +110,21 @@ def _probe_fn(index_rows: list[dict], hash_col_idx: int, out_cols: list[str]):
     return fn
 
 
-def probe_membership(probe_df: DataFrame, key_col: str, index_rows: list[dict],
+def probe_membership(probe_df: DataFrame, key_col: str,
+                     index_rows: list[dict] | Broadcast,
                      hit_col: str = "maybe_present") -> DataFrame:
     """Append a boolean column: True iff ANY partition filter may contain the key.
 
     Zero false negatives (an inserted key always probes true in its
     partition's filter); false positives at the per-filter bound times the
     number of filters.
+
+    ``index_rows`` may be a plain list (broadcast internally — the payloads
+    travel to each executor once, not inside every task closure) or a
+    ``Broadcast`` handle from ``broadcast_index`` (reused across calls).
     """
+    if not isinstance(index_rows, Broadcast):
+        index_rows = broadcast_index(probe_df.sparkSession, index_rows)
     with_hash = probe_df.withColumn("__h", F.xxhash64(key_col))
     cols = with_hash.columns
     schema_str = ", ".join(
@@ -102,6 +135,64 @@ def probe_membership(probe_df: DataFrame, key_col: str, index_rows: list[dict],
         _probe_fn(index_rows, cols.index("__h"), [hit_col]), schema_str
     )
     return out.drop("__h")
+
+
+def probe_membership_cogrouped(probe_df: DataFrame, key_col: str,
+                               index_df: DataFrame, num_partitions: int,
+                               hit_col: str = "maybe_present") -> DataFrame:
+    """Membership probe with the index kept DISTRIBUTED — for filter indexes
+    too large to collect or broadcast (driver-memory ceiling at 10^5+
+    partitions).
+
+    Requires an index built by ``build_filter_index(..., num_partitions)``
+    over the same hash layout: the build shuffles keys with
+    ``repartition(P, h)``, whose placement function is
+    ``pmod(murmur3(h), P)`` — reproduced here JVM-side (``F.hash`` IS that
+    murmur3, seed 42) to route every probe key to the one partition whose
+    filter could contain it. A cogrouped applyInPandas then checks each
+    key group against that partition's shard filters only.
+
+    Semantics per key: zero false negatives (the key's hash was inserted in
+    exactly this partition's filter); false positives at the SINGLE-filter
+    bound (the OR-probe's ~S*p aggregate FPR does not apply). Cost: one
+    shuffle of the probe side + one tiny shuffle of the index; payloads
+    never touch the driver.
+    """
+    with_hash = probe_df.withColumn("__h", F.xxhash64(key_col))
+    targeted = with_hash.withColumn(
+        "__pid", F.pmod(F.hash("__h"), F.lit(num_partitions)).cast("int"))
+    idx = index_df.select("partition_id", "kind", "params", "payload")
+    out_fields = [f for f in with_hash.schema.fields if f.name != "__h"]
+    schema_str = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{hit_col} boolean"]
+    )
+    out_names = [f.name for f in out_fields]
+
+    def fn(_key, probes_pdf, index_pdf):
+        import numpy as np
+
+        filters = [
+            deserialize_filter(k, bytes(p), json.loads(pr))
+            for k, pr, p in zip(index_pdf["kind"], index_pdf["params"],
+                                index_pdf["payload"])
+        ]
+        h = probes_pdf["__h"].to_numpy().astype(np.int64).view(np.uint64)
+        hit = np.zeros(len(h), dtype=bool)
+        for filt in filters:  # OR over this partition's SHARD filters only
+            miss = ~hit
+            if not miss.any():
+                break
+            hit[miss] |= filt.check(h[miss])
+        out = probes_pdf[out_names].copy()
+        out[hit_col] = hit
+        return out
+
+    return (
+        targeted.groupBy("__pid")
+        .cogroup(idx.groupBy("partition_id"))
+        .applyInPandas(fn, schema_str)
+    )
 
 
 def expected_fpr(index_rows: list[dict], per_filter_fpr: float) -> float:

@@ -69,6 +69,59 @@ class TestFilterIndex:
             assert r["build_ns"] > 0 and r["mem_usage"] >= r["ideal_mem_usage"] > 0
             assert r["attempts"] >= 1
 
+    def test_probe_through_prebroadcast_handle(self, spark, pages):
+        from filterz_spark.spark.probe import broadcast_index
+        idx = collect_index(
+            build_filter_index(pages, "url", "xorf", {"arity": 3, "fp_bits": 16}, 8))
+        bc = broadcast_index(spark, idx)
+        try:
+            probed = probe_membership(pages.select("url"), "url", bc)
+            assert probed.filter("NOT maybe_present").count() == 0
+            # the handle is reusable across probe calls
+            absent = pages.selectExpr("concat(url, '#absent') AS url")
+            fp = probe_membership(absent, "url", bc).filter("maybe_present").count()
+            bound = len(idx) * 2.0 ** -16 * N_PAGES
+            assert fp <= bound + 4 * np.sqrt(bound) + 4
+        finally:
+            bc.unpersist()
+
+    def test_cogrouped_probe_zero_fn_and_single_filter_fpr(self, spark, pages):
+        """Distributed probe: index stays a DataFrame, each key is routed to
+        the partition that built its filter. Zero FN; FPR at the
+        SINGLE-filter bound (not S x p) because only one partition's
+        filters see each key."""
+        from filterz_spark.spark.probe import probe_membership_cogrouped
+        parts = 8
+        idx_df = build_filter_index(pages, "url", "xorf",
+                                    {"arity": 3, "fp_bits": 16}, parts)
+        probed = probe_membership_cogrouped(pages.select("url"), "url",
+                                            idx_df, parts)
+        assert probed.filter("NOT maybe_present").count() == 0
+        absent = pages.selectExpr("concat(url, '#absent') AS url")
+        fp = probe_membership_cogrouped(absent, "url", idx_df, parts) \
+            .filter("maybe_present").count()
+        bound = 2.0 ** -16 * N_PAGES  # per-filter bound, no S multiplier
+        assert fp <= bound + 4 * np.sqrt(bound) + 4
+
+    def test_cogrouped_probe_agrees_with_broadcast_probe_on_present(self, spark, pages):
+        """On inserted keys the two probe strategies must agree exactly
+        (both are FN-free); the cogrouped path may only ever have FEWER
+        false positives on absent keys."""
+        from filterz_spark.spark.probe import probe_membership_cogrouped
+        parts = 4
+        idx_df = build_filter_index(pages, "url", "xorf",
+                                    {"arity": 3, "fp_bits": 16}, parts)
+        idx = collect_index(idx_df)
+        mixed = pages.select("url").limit(3000).unionAll(
+            pages.selectExpr("concat(url, '#a') AS url").limit(3000))
+        a = set(r["url"] for r in probe_membership(mixed, "url", idx)
+                .filter("maybe_present").collect())
+        b = set(r["url"] for r in probe_membership_cogrouped(mixed, "url", idx_df, parts)
+                .filter("maybe_present").collect())
+        assert b <= a  # targeted probe is a subset (fewer FPs, same inserted keys)
+        present = set(r["url"] for r in pages.select("url").limit(3000).collect())
+        assert present <= b
+
 
 class TestExtraction:
     def test_text_extraction_invariant(self, spark, pages):
