@@ -121,18 +121,29 @@ def ivf_train(embeddings: DataFrame, n_clusters: int = 16, iters: int = 5,
     for _ in range(iters):
         assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
         joined = assigned.join(embeddings.select(id_col, vec_col), id_col)
-        # re-center via posexplode + groupBy(cluster, dim): one aggregate
-        # regardless of dimensionality (an avg() PER DIMENSION compiles
-        # dim separate aggregate expressions — a planner/codegen blowup at
-        # 768-dim embedding widths)
-        sums = (
-            joined.select("cluster", F.posexplode(vec_col).alias("d", "x"))
-            .groupBy("cluster", "d").agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
-        for r in sums:
-            centroids[r["cluster"]][r["d"]] = r["m"]
+        for r in _recenter_means(joined, vec_col).collect():
+            for e in r["dm"]:
+                centroids[r["cluster"]][e["d"]] = e["m"]
     return centroids
+
+
+def _recenter_means(assigned_vecs: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cluster mean vectors as ONE row per cluster:
+    (cluster, dm array<struct<d,m>> sorted by dimension).
+
+    Two-level shape, both executor-side: posexplode + groupBy(cluster, dim)
+    computes the per-dimension means as one aggregate regardless of
+    dimensionality (an avg() PER DIMENSION compiles dim separate aggregate
+    expressions — a planner/codegen blowup at 768-dim widths), then a
+    second groupBy(cluster) packs each cluster's dims into a sorted array
+    so the driver pulls n_clusters rows — not n_clusters x dim scalar rows
+    (~3.1M rows per Lloyd iteration at 4096 clusters x 768 dims)."""
+    return (
+        assigned_vecs.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("cluster", "d").agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+    )
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,

@@ -149,6 +149,32 @@ class TestIvf:
         assert assigned.count() == emb.count()
         assert assigned.select("cluster").distinct().count() >= 4
 
+    def test_ivf_recenter_collects_one_row_per_cluster_at_wide_dim(self, spark):
+        """Lloyd re-centering must pull n_clusters rows to the driver, not
+        n_clusters x dim scalar rows (~3.1M rows/iteration at 4096x768),
+        and the packed means must match a numpy k-means step exactly."""
+        from filterz_spark.ops.similarity import _recenter_means, ivf_assign
+        rng = np.random.default_rng(7)
+        dim, n, k = 256, 400, 8
+        mat = rng.normal(size=(n, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>")
+        centroids = mat[:k].astype(np.float64)
+        joined = ivf_assign(df, centroids).join(df, "vec_id")
+        per_cluster = _recenter_means(joined, "embedding")
+        rows = per_cluster.collect()
+        assert len(rows) <= k  # ONE row per non-empty cluster
+        # numpy ground truth for the same assignment
+        cn = np.linalg.norm(centroids, axis=1)
+        sims = (mat @ centroids.T) / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12) / cn
+        assign = np.argmax(sims, axis=1)
+        for r in rows:
+            expect = mat[assign == r["cluster"]].mean(axis=0)
+            got = np.array([e["m"] for e in r["dm"]])
+            assert [e["d"] for e in r["dm"]] == list(range(dim))
+            assert np.allclose(got, expect)
+
 
 class TestScaleHardening:
     """Round-2 scale fixes: LSH hot-bucket cap, recall-1 ANN regimes,
