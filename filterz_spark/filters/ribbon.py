@@ -147,6 +147,12 @@ def construct(hashes: np.ndarray, coeff_bits: int, result_bits: int):
         import math
         start_mult = min(MAX_MULTIPLIER,
                          MIN_MULTIPLIER + round(1.5 * math.log2(n / 35_000)))
+    elif coeff_bits == 128 and n > 300_000:
+        # u128 at 103 succeeds on only ~45% of seeds at n=625k (measured
+        # over 20 key sets; 104 -> 85%, 105 -> 95%), and every failed seed
+        # burns most of a full elimination pass — ~40% of the build wall in
+        # expectation. One extra percent of slots buys back that pass.
+        start_mult = MIN_MULTIPLIER + 1
 
     for multiplier in range(start_mult, MAX_MULTIPLIER + 1):
         size = calculate_size(coeff_bits, n, multiplier)
@@ -263,8 +269,7 @@ def contains(solution: np.ndarray, seed: int, coeff_bits: int, result_bits: int,
         return np.zeros(hashes.size, dtype=bool)
     h = np.asarray(hashes, dtype=np.uint64)
     from .. import native
-    res = native.ribbon_contains(solution.astype(np.uint64, copy=False),
-                                 seed, coeff_bits, result_bits, h)
+    res = native.ribbon_contains(solution, seed, coeff_bits, result_bits, h)
     if res is not None:
         return res
     size = solution.shape[0]

@@ -191,7 +191,9 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
         # a property of (seed, positions) only — so the C and numpy
         # backends succeed on exactly the same seed; only the
         # slot-assignment order (payload bytes) differs between backends.
-        fp64 = np.zeros(alen, dtype=np.uint64)
+        # empty, not zeros: the kernel memsets fp_out itself before the
+        # (only) assignment pass that runs on a full peel
+        fp64 = np.empty(alen, dtype=np.uint64)
         for _ in range(MAX_ATTEMPTS):
             seed = rng.next()
             header.seed = seed

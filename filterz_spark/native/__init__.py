@@ -101,8 +101,8 @@ def _load():
         ]
         lib.ribbon_attempt.restype = ctypes.c_int32
         lib.ribbon_contains.argtypes = [
-            _u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
-            ctypes.c_int32, _u64p, ctypes.c_int64, _u8p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _u64p, ctypes.c_int64, _u8p,
         ]
         lib.ribbon_contains.restype = None
         _lib = lib
@@ -189,16 +189,22 @@ def xorf_contains(fps_u64: np.ndarray, seed: int, arity: int,
     return out.view(bool)
 
 
-def ribbon_contains(solution_u64: np.ndarray, seed: int, coeff_bits: int,
+def ribbon_contains(solution: np.ndarray, seed: int, coeff_bits: int,
                     result_bits: int, hashes: np.ndarray):
+    """Probe against the solution in its NATIVE storage width (u8/u16/u32) —
+    the probe window stays a few cache lines instead of the u64-widened
+    form's 1KB, and the u16 case takes a 16-lane SIMD mask-expand path."""
     if not available() or coeff_bits not in (32, 64, 128) or result_bits > 32:
         return None
     lib = _load()
-    sol = np.ascontiguousarray(solution_u64, dtype=np.uint64)
+    sol = np.ascontiguousarray(solution)
+    if sol.dtype.itemsize not in (1, 2, 4, 8):
+        return None
     h = np.ascontiguousarray(hashes, dtype=np.uint64)
     out = np.empty(h.size, dtype=np.uint8)
-    lib.ribbon_contains(sol, sol.size, seed & 0xFFFFFFFFFFFFFFFF,
-                        coeff_bits, result_bits, h, h.size, out)
+    lib.ribbon_contains(sol.ctypes.data_as(ctypes.c_void_p), sol.size,
+                        seed & 0xFFFFFFFFFFFFFFFF, coeff_bits, result_bits,
+                        sol.dtype.itemsize, h, h.size, out)
     return out.view(bool)
 
 

@@ -173,7 +173,22 @@ int64_t xorf_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
         return -1;
     }
 
+    /* software-pipelined init scatter: compute key i+PF's positions and
+     * prefetch their count/xormask lines while scattering key i — the
+     * position math is ~10 ALU ops/key, the random-access latency over the
+     * multi-MB count+xormask working set is what stalls the loop */
+    enum { XORF_PF = 12 };
     for (int64_t i = 0; i < n; i++) {
+        if (i + XORF_PF < n) {
+            uint64_t hp = murmur_mix(hashes[i + XORF_PF], seed);
+            uint64_t hlp = mulhi64(hp, scl);
+            for (int j = 0; j < arity; j++) {
+                uint64_t p = xorf_pos(hp, hlp, hh_mask, span, arity, j,
+                                      seg_len, seg_mask);
+                __builtin_prefetch(&count[p], 1, 1);
+                __builtin_prefetch(&xormask[p], 1, 1);
+            }
+        }
         uint64_t h = murmur_mix(hashes[i], seed);
         uint64_t hl = mulhi64(h, scl);
         for (int j = 0; j < arity; j++) {
@@ -251,9 +266,57 @@ void xorf_contains(const uint64_t *fps, uint64_t seed, int32_t arity,
 
 /* Vectorized-batch ribbon probe (ref src/ribbon.zig:141-192): recompute
  * the key's start/coeff/result, XOR the solution rows selected by the
- * coefficient bits, compare. Solution rows arrive widened to u64. */
-void ribbon_contains(const uint64_t *solution, int64_t size, uint64_t seed,
+ * coefficient bits, compare. The solution arrives in its NATIVE storage
+ * width (elem_bytes 1/2/4) — probing u16 rows touches an 8x smaller
+ * window than the former u64-widened form (256B vs 1KB for u128), and the
+ * u16 case runs the same 16-lane mask-expand SIMD shape as the
+ * reference's 256-bit probe (src/ribbon.zig:161-191). */
+#if defined(__AVX2__)
+#include <immintrin.h>
+/* XOR of wnd[j] over set bits j of the coefficient row, 16 u16 lanes per
+ * step: broadcast 16 coefficient bits, select lanes via and+cmpeq against
+ * per-lane bit masks, mask the 16 contiguous solution rows, accumulate. */
+static inline uint16_t rib_probe16_avx2(const uint16_t *wnd, uint64_t clo,
+                                        uint64_t chi, int chunks) {
+    const __m256i sel = _mm256_setr_epi16(
+        1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+        16384, (short)0x8000);
+    __m256i acc = _mm256_setzero_si256();
+    for (int c = 0; c < chunks; c++) {
+        uint64_t src = c < 4 ? (clo >> (c * 16)) : (chi >> ((c - 4) * 16));
+        __m256i b = _mm256_set1_epi16((short)(uint16_t)src);
+        __m256i m = _mm256_cmpeq_epi16(_mm256_and_si256(b, sel), sel);
+        acc = _mm256_xor_si256(
+            acc, _mm256_and_si256(
+                     m, _mm256_loadu_si256((const __m256i *)(wnd + c * 16))));
+    }
+    __m128i x = _mm_xor_si128(_mm256_castsi256_si128(acc),
+                              _mm256_extracti128_si256(acc, 1));
+    x = _mm_xor_si128(x, _mm_srli_si128(x, 8));
+    x = _mm_xor_si128(x, _mm_srli_si128(x, 4));
+    x = _mm_xor_si128(x, _mm_srli_si128(x, 2));
+    return (uint16_t)_mm_cvtsi128_si32(x);
+}
+#endif
+
+#define RIB_SCALAR_PROBE(T)                                                  \
+    do {                                                                     \
+        const T *sol = (const T *)solution;                                  \
+        uint64_t acc = 0;                                                    \
+        while (clo) {                                                        \
+            acc ^= sol[start + __builtin_ctzll(clo)];                        \
+            clo &= clo - 1;                                                  \
+        }                                                                    \
+        while (chi) {                                                        \
+            acc ^= sol[start + 64 + __builtin_ctzll(chi)];                   \
+            chi &= chi - 1;                                                  \
+        }                                                                    \
+        out[i] = acc == expected;                                            \
+    } while (0)
+
+void ribbon_contains(const void *solution, int64_t size, uint64_t seed,
                      int32_t coeff_bits, int32_t result_bits,
+                     int32_t elem_bytes,
                      const uint64_t *hashes, int64_t n, uint8_t *out) {
     int64_t start_range = size + 1 - coeff_bits;
     uint64_t w = (uint64_t)(coeff_bits / 8);
@@ -269,29 +332,31 @@ void ribbon_contains(const uint64_t *solution, int64_t size, uint64_t seed,
         uint64_t lim = (uint64_t)(start_range - 1);
         int64_t start = (int64_t)(pos < lim ? pos : lim);
         uint64_t expected = ((hash0 >> 32) ^ hash0) & rmask;
-        uint64_t acc = 0;
-        /* iterate set coefficient bits only (~half the window; measured
-         * 105 -> 65 ns/q for u128 vs the dense masked loop) */
+        uint64_t clo, chi;
         if (coeff_bits == 128) {
-            uint64_t chi = sa ^ h;
-            uint64_t clo = (sb ^ __builtin_bswap64(h)) | 1ULL;
-            while (clo) {
-                acc ^= solution[start + __builtin_ctzll(clo)];
-                clo &= clo - 1;
-            }
-            while (chi) {
-                acc ^= solution[start + 64 + __builtin_ctzll(chi)];
-                chi &= chi - 1;
-            }
+            chi = sa ^ h;
+            clo = (sb ^ __builtin_bswap64(h)) | 1ULL;
         } else {
-            uint64_t cr = coeff_bits == 32 ? ((hash0 & 0xffffffffULL) | 1ULL)
-                                           : (hash0 | 1ULL);
-            while (cr) {
-                acc ^= solution[start + __builtin_ctzll(cr)];
-                cr &= cr - 1;
-            }
+            chi = 0;
+            clo = coeff_bits == 32 ? ((hash0 & 0xffffffffULL) | 1ULL)
+                                   : (hash0 | 1ULL);
         }
-        out[i] = acc == expected;
+#if defined(__AVX2__)
+        if (elem_bytes == 2) {
+            uint16_t acc = rib_probe16_avx2(
+                (const uint16_t *)solution + start, clo, chi, coeff_bits / 16);
+            out[i] = acc == (uint16_t)expected;
+            continue;
+        }
+#endif
+        if (elem_bytes == 2)
+            RIB_SCALAR_PROBE(uint16_t);
+        else if (elem_bytes == 1)
+            RIB_SCALAR_PROBE(uint8_t);
+        else if (elem_bytes == 4)
+            RIB_SCALAR_PROBE(uint32_t);
+        else
+            RIB_SCALAR_PROBE(uint64_t);
     }
 }
 
@@ -303,6 +368,12 @@ void ribbon_contains(const uint64_t *solution, int64_t size, uint64_t seed,
  * incremental banded elimination (ref :77-104) + bit-plane
  * back-substitution (ref :108-134) over an interleaved slot array.
  * Returns 0 ok, 1 inconsistent (retry next seed), -1 alloc fail. */
+/* packed per-key params, scattered ONCE into stable-sorted order: a single
+ * 32B random-write stream instead of four parallel array scatters (the
+ * four-stream form walked 4 distinct pages per key — measured ~25% of the
+ * u128 attempt wall in TLB/line traffic) */
+typedef struct { uint64_t clo, chi, rrow; uint32_t start, pad; } ribkey_t;
+
 int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
                        int64_t size, int32_t coeff_bits, int32_t result_bits,
                        uint64_t *solution_out) {
@@ -313,18 +384,10 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
     int64_t cap = n > 0 ? n : 1;
 
     uint32_t *start = (uint32_t *)malloc((size_t)cap * 4);
-    uint64_t *clo = (uint64_t *)malloc((size_t)cap * 8);
-    uint64_t *chi = use128 ? (uint64_t *)malloc((size_t)cap * 8) : NULL;
-    uint64_t *rrow = (uint64_t *)malloc((size_t)cap * 8);
-    uint32_t *start_s = (uint32_t *)malloc((size_t)cap * 4);
-    uint64_t *clo_s = (uint64_t *)malloc((size_t)cap * 8);
-    uint64_t *chi_s = use128 ? (uint64_t *)malloc((size_t)cap * 8) : NULL;
-    uint64_t *rrow_s = (uint64_t *)malloc((size_t)cap * 8);
+    ribkey_t *ks = (ribkey_t *)malloc((size_t)cap * sizeof(ribkey_t));
     int64_t *off = (int64_t *)calloc(65537, sizeof(int64_t));
-    if (!start || !clo || (use128 && (!chi || !chi_s)) || !rrow || !start_s ||
-        !clo_s || !rrow_s || !off) {
-        free(start); free(clo); free(chi); free(rrow);
-        free(start_s); free(clo_s); free(chi_s); free(rrow_s); free(off);
+    if (!start || !ks || !off) {
+        free(start); free(ks); free(off);
         return -1;
     }
 
@@ -338,50 +401,57 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
 
     uint64_t sa = seed * 0x876f170be4f1fcb9ULL; /* COEFF_FACTOR0, ref :19 */
     uint64_t sb = seed * 0xf0433a4aecda4c5fULL; /* COEFF_FACTOR1, ref :20 */
+    /* pass A: start positions (sequential write) + bucket histogram */
     for (int64_t i = 0; i < n; i++) {
-        uint64_t h = hashes[i];
-        uint64_t hash0 = seed ^ h;
+        uint64_t hash0 = seed ^ hashes[i];
         uint64_t h32 = (hash0 ^ (hash0 >> 32)) & 0xffffffffULL;
         uint64_t smash = (((uint64_t)start_range + w * 2) * h32) >> 32;
         uint64_t pos = smash > w ? smash - w : 0;
         uint64_t lim = (uint64_t)(start_range - 1);
-        uint32_t st = (uint32_t)(pos < lim ? pos : lim);
-        start[i] = st;
-        off[(st >> shift) + 1]++;
-        if (use128) {
-            chi[i] = sa ^ h;
-            clo[i] = (sb ^ __builtin_bswap64(h)) | 1ULL;
-        } else if (coeff_bits == 32) {
-            clo[i] = (hash0 & 0xffffffffULL) | 1ULL;
-        } else {
-            clo[i] = hash0 | 1ULL;
-        }
-        rrow[i] = ((hash0 >> 32) ^ hash0) & rmask;
+        start[i] = (uint32_t)(pos < lim ? pos : lim);
+        off[(start[i] >> shift) + 1]++;
     }
     for (int d = 0; d < 65536; d++) off[d + 1] += off[d];
+    /* pass B: recompute coeff/result rows (cheap ALU) and scatter the packed
+     * struct straight into stable counting-sort order — identical insertion
+     * permutation to the numpy fallback's argsort(kind="stable") */
     for (int64_t i = 0; i < n; i++) {
+        uint64_t h = hashes[i];
+        uint64_t hash0 = seed ^ h;
         int64_t o = off[start[i] >> shift]++;
-        start_s[o] = start[i];
-        clo_s[o] = clo[i];
-        if (use128) chi_s[o] = chi[i];
-        rrow_s[o] = rrow[i];
+        ribkey_t *k = ks + o;
+        if (use128) {
+            k->chi = sa ^ h;
+            k->clo = (sb ^ __builtin_bswap64(h)) | 1ULL;
+        } else if (coeff_bits == 32) {
+            k->chi = 0;
+            k->clo = (hash0 & 0xffffffffULL) | 1ULL;
+        } else {
+            k->chi = 0;
+            k->clo = hash0 | 1ULL;
+        }
+        k->rrow = ((hash0 >> 32) ^ hash0) & rmask;
+        k->start = start[i];
     }
 
     int32_t status;
     if (!use128) {
-        typedef struct { uint64_t coeff; uint64_t result; } slot64_t;
-        slot64_t *slots = (slot64_t *)calloc((size_t)size, sizeof(slot64_t));
-        if (!slots) { status = -1; goto done; }
+        /* coeff and result in SPLIT arrays: the cascade probe touches only
+         * the 8B coeff entry; result is read/written only on actual
+         * elimination steps */
+        uint64_t *coeff = (uint64_t *)calloc((size_t)size, sizeof(uint64_t));
+        uint64_t *result = (uint64_t *)calloc((size_t)size, sizeof(uint64_t));
+        if (!coeff || !result) { free(coeff); free(result); status = -1; goto done; }
         status = 0;
         for (int64_t t = 0; t < n; t++) {
-            int64_t pos = (int64_t)start_s[t];
-            uint64_t cr = clo_s[t];
-            uint64_t rr = rrow_s[t];
+            int64_t pos = (int64_t)ks[t].start;
+            uint64_t cr = ks[t].clo;
+            uint64_t rr = ks[t].rrow;
             for (;;) {
-                uint64_t ex = slots[pos].coeff;
-                if (ex == 0) { slots[pos].coeff = cr; slots[pos].result = rr; break; }
+                uint64_t ex = coeff[pos];
+                if (ex == 0) { coeff[pos] = cr; result[pos] = rr; break; }
                 cr ^= ex;
-                rr ^= slots[pos].result;
+                rr ^= result[pos];
                 if (cr == 0) {
                     if (rr != 0) status = 1;
                     break;
@@ -397,7 +467,7 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
                 coeff_bits >= 64 ? ~0ULL : ((1ULL << coeff_bits) - 1);
             uint64_t planes[32] = {0};
             for (int64_t i = size - 1; i >= 0; i--) {
-                uint64_t cr = slots[i].coeff, rr = slots[i].result, srow = 0;
+                uint64_t cr = coeff[i], rr = result[i], srow = 0;
                 for (int j = 0; j < result_bits; j++) {
                     uint64_t tmp = (planes[j] << 1) & cmask;
                     uint64_t bit = (uint64_t)(__builtin_popcountll(tmp & cr) & 1) ^
@@ -408,22 +478,22 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
                 solution_out[i] = srow;
             }
         }
-        free(slots);
+        free(coeff); free(result);
     } else {
         typedef unsigned __int128 u128;
-        typedef struct { u128 coeff; uint64_t result; } slot128_t;
-        slot128_t *slots = (slot128_t *)calloc((size_t)size, sizeof(slot128_t));
-        if (!slots) { status = -1; goto done; }
+        u128 *coeff = (u128 *)calloc((size_t)size, sizeof(u128));
+        uint64_t *result = (uint64_t *)calloc((size_t)size, sizeof(uint64_t));
+        if (!coeff || !result) { free(coeff); free(result); status = -1; goto done; }
         status = 0;
         for (int64_t t = 0; t < n; t++) {
-            int64_t pos = (int64_t)start_s[t];
-            u128 cr = ((u128)chi_s[t] << 64) | clo_s[t];
-            uint64_t rr = rrow_s[t];
+            int64_t pos = (int64_t)ks[t].start;
+            u128 cr = ((u128)ks[t].chi << 64) | ks[t].clo;
+            uint64_t rr = ks[t].rrow;
             for (;;) {
-                u128 ex = slots[pos].coeff;
-                if (ex == 0) { slots[pos].coeff = cr; slots[pos].result = rr; break; }
+                u128 ex = coeff[pos];
+                if (ex == 0) { coeff[pos] = cr; result[pos] = rr; break; }
                 cr ^= ex;
-                rr ^= slots[pos].result;
+                rr ^= result[pos];
                 if (cr == 0) {
                     if (rr != 0) status = 1;
                     break;
@@ -439,8 +509,8 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
         if (status == 0) {
             u128 planes[32] = {0};
             for (int64_t i = size - 1; i >= 0; i--) {
-                u128 cr = slots[i].coeff;
-                uint64_t rr = slots[i].result, srow = 0;
+                u128 cr = coeff[i];
+                uint64_t rr = result[i], srow = 0;
                 for (int j = 0; j < result_bits; j++) {
                     u128 tmp = planes[j] << 1;
                     u128 x = tmp & cr;
@@ -454,11 +524,10 @@ int32_t ribbon_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
                 solution_out[i] = srow;
             }
         }
-        free(slots);
+        free(coeff); free(result);
     }
 
 done:
-    free(start); free(clo); free(chi); free(rrow);
-    free(start_s); free(clo_s); free(chi_s); free(rrow_s); free(off);
+    free(start); free(ks); free(off);
     return status;
 }
