@@ -63,8 +63,15 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
                .repartition(parts).cache()
     values.count()
 
-    # warm-up: fork the Python workers + exercise mapInArrow once
-    collect_index(build_filter_index(keys, "k", "sbbf", {"bits_per_key": 8}, parts))
+    # warm-up: fork the Python workers + exercise mapInArrow once per
+    # measured config (the first measured build otherwise absorbs the
+    # page-cache/JIT residue and reads as a phantom regression)
+    for wk, wp in [("sbbf", {"bits_per_key": 24}),
+                   ("xorf", {"arity": 3, "fp_bits": 16}),
+                   ("xorf", {"arity": 4, "fp_bits": 16}),
+                   ("ribbon", {"coeff_bits": 64, "result_bits": 16}),
+                   ("ribbon", {"coeff_bits": 128, "result_bits": 16})]:
+        collect_index(build_filter_index(keys, "k", wk, wp, parts))
 
     queries: dict[str, float] = {}
     query_samples: dict[str, list[float]] = {}

@@ -7,11 +7,14 @@ SAME input, in separate processes. A single box is NOT 4 independent
 executors: all 32 cores share one DRAM controller, so memory-bound kernels
 hit the bandwidth wall long before 4x (measured below), which a real
 4N-executor cluster — where each executor brings its own memory — does not.
-The report therefore carries a CALIBRATION section: the same class of work
-run bare (multiprocessing, no Spark) at 8 vs 32 processes establishes the
-machine's ceiling, and the Spark pipeline's efficiency is reported both raw
-and relative to that ceiling (the number that actually transfers to a
-multi-executor cluster: does the DISTRIBUTION layer scale?).
+The report therefore carries a CALIBRATION section: the IDENTICAL build
+task run bare (multiprocessing, no Spark) at 8 vs 32 processes establishes
+the kernel-exact machine ceiling (since round 3 the native kernels are fast
+enough to be partly DRAM-bound, so this ceiling can sit well below 4x —
+or below 1x in a stalled host phase), plus a pure-compute proxy loop for
+the scheduler-only ceiling. The Spark pipeline is reported relative to
+both, and as spark-vs-bare at FIXED parallelism — the number that actually
+transfers to a multi-executor cluster: does the DISTRIBUTION layer scale?
 
 Measurement discipline: this virtualized box shows BIMODAL wall-clock noise
 (the identical job swings 0.9s..15s back-to-back while the in-task kernel
@@ -75,8 +78,15 @@ keys = (spark.range(0, num_keys, numPartitions=parts)
         .repartition(parts, "k").cache())
 keys.count()
 out = {"cores": cores, "num_keys": num_keys, "builds": {}}
-collect_index(build_filter_index(keys, "k", "sbbf", {"bits_per_key": 8},
-                                 pre_partitioned=True))  # warm workers
+# warm workers with ONE pass of every measured config: the first measured
+# build otherwise absorbs the page-cache/JIT warmup residue (observed as a
+# monotonically descending sample triple on the first label only)
+for _wk, _wp in [("sbbf", {"bits_per_key": 24}),
+                 ("xorf", {"arity": 3, "fp_bits": 16}),
+                 ("xorf", {"arity": 4, "fp_bits": 16}),
+                 ("ribbon", {"coeff_bits": 64, "result_bits": 16}),
+                 ("ribbon", {"coeff_bits": 128, "result_bits": 16})]:
+    collect_index(build_filter_index(keys, "k", _wk, _wp, pre_partitioned=True))
 for label, kind, params in [
     ("sbbf24", "sbbf", {"bits_per_key": 24}),
     ("xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
@@ -159,6 +169,43 @@ def _burn_int(_):
     return n
 
 
+# ---- bare-kernel calibration: the SAME per-partition build task the Spark
+# scale workload runs (synthetic hashes -> np.unique -> filter build), via
+# multiprocessing with no Spark. This is the kernel-exact machine ceiling:
+# since the round-3 native kernels, filter construction is partly
+# DRAM-bandwidth-bound, so on ONE box (one memory controller) 32 processes
+# can be no faster — or slower — than 8. A real 4N-executor cluster brings
+# 4x memory controllers; the transferable number is how little Spark adds
+# over bare processes at the SAME parallelism (spark_vs_bare below).
+
+def _bare_build_task(args):
+    chunk_seed, n_keys, kind, params = args
+    import numpy as np
+    sys.path.insert(0, REPO)
+    from filterz_spark.filters import FILTER_KINDS
+    from filterz_spark.hashing import splitmix64_array
+    h = np.unique(splitmix64_array(chunk_seed, n_keys))
+    f = FILTER_KINDS[kind].build(h, **params)
+    return len(f.serialize())
+
+
+def bare_build_walls(kind: str, params: dict, total_keys: int, chunks: int,
+                     reps: int) -> dict:
+    per = total_keys // chunks
+    tasks = [(1000 + c, per, kind, params) for c in range(chunks)]
+    out = {}
+    for procs in (8, 32):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_bare_build_task, tasks, chunksize=1)
+            samples.append(round(time.time() - t0, 2))
+        out[procs] = {"sec": min(samples), "samples": samples}
+    out["speedup"] = round(out[8]["sec"] / out[32]["sec"], 2)
+    return out
+
+
 SPARK_PROBE = r"""
 import sys, time
 sys.path.insert(0, %(repo)r)
@@ -236,12 +283,36 @@ def run(cores: int) -> dict:
     raise RuntimeError(f"child failed (cores={cores}):\n{proc.stderr[-3000:]}")
 
 
-# all construction kernels are compiled C since round 2 — compute-bound,
-# so the int_loop multiprocessing ceiling is the comparator for every kind
-# (numpy_membound is kept in the calibration table as the contrast case)
-KIND_CEILING = {"sbbf24": "int_loop", "xorf3_16": "int_loop",
-                "xorf4_16": "int_loop", "ribbon64_16": "int_loop",
-                "ribbon128_16": "int_loop"}
+def merge_runs(a: dict, b: dict) -> dict:
+    """Per-label best across two child processes. This host's stall phases
+    last minutes and can swallow an ENTIRE child run (observed: every
+    local[32] sample 6-10x slow while an adjacent local[8] child was
+    clean), so best-of-reps inside one child is not enough — children are
+    launched twice, interleaved across core counts, and merged here."""
+    out = {k: v for k, v in a.items() if k not in ("builds", "scale")}
+    out["builds"] = {}
+    for label in a["builds"]:
+        x, y = a["builds"][label], b["builds"][label]
+        best = x if x["sec"] <= y["sec"] else y
+        best = dict(best)
+        best["samples"] = x["samples"] + y["samples"]
+        out["builds"][label] = best
+    out["scale"] = {k: v for k, v in a["scale"].items() if k != "builds"}
+    out["scale"]["builds"] = {}
+    for label in a["scale"]["builds"]:
+        x, y = a["scale"]["builds"][label], b["scale"]["builds"][label]
+        best = x if x["sec"] <= y["sec"] else y
+        best = dict(best)
+        best["samples"] = x["samples"] + y["samples"]
+        out["scale"]["builds"][label] = best
+    return out
+
+
+SCALE_KINDS = [
+    ("sbbf24", "sbbf", {"bits_per_key": 24}),
+    ("xorf3_16", "xorf", {"arity": 3, "fp_bits": 16}),
+    ("ribbon128_16", "ribbon", {"coeff_bits": 128, "result_bits": 16}),
+]
 
 
 def main():
@@ -250,8 +321,14 @@ def main():
     probe32 = spark_compute_probe(32)
     probe_speedup = round(probe8 / probe32, 2)
     dist_eff = round(probe_speedup / calib["int_loop"]["speedup"], 2)
-    lo = run(8)
-    hi = run(32)
+    bare = {label: bare_build_walls(kind, params, SCALE_KEYS, SCALE_PARTS, REPS)
+            for label, kind, params in SCALE_KINDS}
+    # two children per core count, interleaved (8, 32, 8, 32): a stall
+    # phase that swallows one whole child cannot swallow the measurement
+    lo_a = run(8)
+    hi_a = run(32)
+    lo = merge_runs(lo_a, run(8))
+    hi = merge_runs(hi_a, run(32))
     lines = [
         "# BENCH/BASELINE — scaling evidence (local[8] vs local[32]) + reference walls",
         "",
@@ -262,14 +339,16 @@ def main():
         "CONSTRUCTION plus index collect. Two parallelism levels in separate "
         "processes — the sandbox stand-in for N vs 4N executors per driver "
         "instruction. This virtualized host shows bimodal wall noise (same "
-        f"job swings ~10x while in-task kernel time stays flat), so each "
-        f"build reports the best of {REPS} runs with all samples attached.",
+        f"job swings ~10x while in-task kernel time stays flat) whose stall "
+        f"phases can swallow a whole child process, so each core count runs "
+        f"TWO interleaved children of {REPS} reps each and reports the best "
+        f"wall with all samples attached.",
         "",
         "## Reference-wall comparison (the round-1 verdict bar: wall <= 2x reference)",
         "",
         "Reference = single-thread Zig walls from bench_result_low_hit.txt "
         "scaled to 20M keys. Ours = local[32] wall (build + collect), "
-        f"best of {REPS}.",
+        "best across children.",
         "",
         "| structure | reference wall (1 thread) | our local[32] wall | ratio | bar (2x) |",
         "|---|---|---|---|---|",
@@ -303,31 +382,45 @@ def main():
         "",
         "A compute-bound kernel reaches its ceiling near 4x scaled by "
         "scheduler overhead; a memory-bandwidth-bound kernel saturates DRAM "
-        "well below 4x. On a real 4N-executor cluster each executor brings "
-        "its own memory, so the ceiling there is ~4x; the transferable "
-        "number is the DISTRIBUTION-layer efficiency below (Spark speedup / "
-        "machine ceiling for the matching kernel class).",
+        "well below 4x. Since the round-3 native kernels, filter "
+        "construction is fast enough to be partly DRAM-bound, so the "
+        "kernel-EXACT ceiling below is measured by running the identical "
+        "build task bare (multiprocessing, no Spark) at 8 vs 32 processes. "
+        "On a real 4N-executor cluster each executor brings its own memory "
+        "controller, so the one-box ceiling does not apply there; the "
+        "transferable numbers are (a) how little Spark adds over bare "
+        "processes at the SAME parallelism (spark-vs-bare) and (b) the "
+        "distribution-layer efficiency on fixed pure-compute work.",
         "",
         "## Spark pipeline scaling (160M keys, 64 partitions, distributed "
         "materialization — the 20M collect-included walls above measure the "
         "reference comparison, not scaling: at these kernel speeds a 20M "
         "build is driver/feed-overhead-dominated)",
         "",
-        "| structure | local[8] keys/s | local[32] keys/s | speedup | raw eff (/4) | vs machine ceiling | payloads byte-identical |",
-        "|---|---|---|---|---|---|---|",
+        "| structure | bare 8p | bare 32p | bare speedup (kernel ceiling) | Spark local[8] | Spark local[32] | Spark speedup | vs kernel ceiling | spark-vs-bare @8 | @32 | payloads byte-identical |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     effs = {}
     for label in lo["scale"]["builds"]:
         a, b = lo["scale"]["builds"][label], hi["scale"]["builds"][label]
+        bb = bare[label]
         speedup = a["sec"] / b["sec"]
-        ceiling = calib[KIND_CEILING[label]]["speedup"]
-        vs_ceiling = speedup / ceiling
-        effs[label] = {"speedup": round(speedup, 2), "raw": round(speedup / 4, 2),
-                       "vs_ceiling": round(vs_ceiling, 2)}
+        ceiling = bb["speedup"]
+        vs_ceiling = speedup / ceiling if ceiling > 0 else float("nan")
+        svb8 = bb[8]["sec"] / a["sec"]
+        svb32 = bb[32]["sec"] / b["sec"]
+        effs[label] = {"speedup": round(speedup, 2),
+                       "bare_speedup": ceiling,
+                       "vs_ceiling": round(vs_ceiling, 2),
+                       "spark_vs_bare_8": round(svb8, 2),
+                       "spark_vs_bare_32": round(svb32, 2),
+                       "bare": bb, }
         same = lo["builds"][label]["payload_sha256"] == hi["builds"][label]["payload_sha256"]
         lines.append(
-            f"| {label} | {a['keys_per_sec']:,} | {b['keys_per_sec']:,} | "
-            f"{speedup:.2f}x | {speedup / 4:.2f} | {vs_ceiling:.2f} | "
+            f"| {label} | {bb[8]['sec']}s {bb[8]['samples']} | "
+            f"{bb[32]['sec']}s {bb[32]['samples']} | {ceiling:.2f}x | "
+            f"{a['sec']}s {a['samples']} | {b['sec']}s {b['samples']} | "
+            f"{speedup:.2f}x | {vs_ceiling:.2f} | {svb8:.2f} | {svb32:.2f} | "
             f"{'yes' if same else 'NO'} |")
     lines += [
         "",
@@ -352,17 +445,21 @@ def main():
         "counts: builds are deterministic at any parallelism (resume/"
         "checkpoint safe).",
         "- Construction kernels are native C (filterz_spark/native) with "
-        "numpy fallbacks; per-core single-thread rates are now at or above "
-        "the reference for sbbf/xorf4/ribbon64 and within 1.4x for xorf3, "
-        "so the wall is dominated by the distribution layer (cache->Arrow "
-        "feed, dedup, payload collect), which is the part that scales with "
-        "executors on a real cluster.",
+        "numpy fallbacks; per-core single-thread rates are at or above the "
+        "reference for every structure (round 3), which makes the one-box "
+        "160M workload partly DRAM-bandwidth-bound — the kernel-exact bare "
+        "ceiling above quantifies exactly how much of the N->4N speedup one "
+        "shared memory controller can physically deliver. Spark's own "
+        "overhead at fixed parallelism (spark-vs-bare) and the pure-compute "
+        "distribution-layer efficiency are the numbers that transfer to a "
+        "real 4N-executor cluster, where each executor brings its own "
+        "DRAM.",
         "- The bare-multiprocessing calibration plus the flat in-task kernel "
         "times show the residual wall variance is THIS VIRTUALIZED BOX "
         "(host-level stalls), not engine behavior.",
     ]
     summary = {"num_keys": NUM_KEYS, "parts": PARTS, "reps": REPS,
-               "calibration": calib,
+               "calibration": calib, "bare_builds": bare,
                "ref_walls_20m": {k: round(v, 3) for k, v in REF_WALLS_20M.items()},
                "spark_compute_probe": {"wall8": probe8, "wall32": probe32,
                                        "speedup": probe_speedup,
