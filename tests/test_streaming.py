@@ -109,6 +109,46 @@ def test_foreachbatch_replay_is_idempotent(spark, stream_dirs):
     batch.unpersist()
 
 
+def test_fresh_checkpoint_lineage_resets_replay_guard(spark, stream_dirs):
+    """Batch ids are monotonic PER CHECKPOINT, not per state dir: a restart
+    with a fresh checkpointLocation but a reused state_dir restarts ids at
+    0, and without a run token those genuinely new batches would be
+    silently skipped as replays (ADVICE round 2). With the token, a new
+    lineage resets the per-window watermark; within a lineage, replays of
+    the same id are still suppressed."""
+    import json as _json
+    base, src, events = stream_dirs
+    state_dir = os.path.join(base, "state_token")
+    batch = events.limit(500).cache()
+
+    def payloads():
+        out = {}
+        for fname in sorted(os.listdir(state_dir)):
+            with open(os.path.join(state_dir, fname)) as f:
+                out[fname] = _json.load(f)["payload"]
+        return out
+
+    sk1 = ForeachBatchSketcher(state_dir, kind="cms",
+                               params={"depth": 5, "width": 8192},
+                               ts_col="ts", key_col="event_type",
+                               window="1 day", run_token="ckpt-A")
+    sk1(batch, batch_id=0)
+    after_a = payloads()
+    # restart with a FRESH checkpoint lineage, same state dir: batch 0 of
+    # the new lineage is new data and must merge
+    sk2 = ForeachBatchSketcher(state_dir, kind="cms",
+                               params={"depth": 5, "width": 8192},
+                               ts_col="ts", key_col="event_type",
+                               window="1 day", run_token="ckpt-B")
+    sk2(batch, batch_id=0)
+    after_b = payloads()
+    assert after_b != after_a, "new checkpoint lineage was skipped as a replay"
+    # within lineage B, a replay of the same id is still suppressed
+    sk2(batch, batch_id=0)
+    assert payloads() == after_b, "replay within a lineage double-merged"
+    batch.unpersist()
+
+
 def test_apply_in_pandas_with_state_hll_windows(spark, stream_dirs):
     """Engine-state-store variant (applyInPandasWithState): final per-window
     HLL estimates must match the batch exact counts within the published
