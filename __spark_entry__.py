@@ -270,6 +270,25 @@ def _q_user_sessions(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_latest_events(spark, sf_dir):
+    """Recency dedup (snapshot semantics): each user's most recent event,
+    event_id as the deterministic tiebreak."""
+    from filterz_spark.ops.relational import latest_per_key
+    ev = _t(spark, sf_dir, "events")
+    return (latest_per_key(ev, "user_id", "ts", "event_id")
+            .select("user_id", F.col("event_id").alias("last_event_id"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts")))
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic md5-hash train/holdout split over documents — a pure
+    function of (seed, doc_id), bit-identical in DuckDB."""
+    from filterz_spark.ops.relational import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id", train_fraction=0.8, seed="42")
+            .select("doc_id", "split"))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs, minhash_signature_arrays
     from filterz_spark.ops.relational import dedup_components
@@ -482,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "prefiltered_join": _q_prefiltered_join,
         "user_sessions": _q_user_sessions,
+        "latest_events": _q_latest_events,
+        "train_split": _q_train_split,
         "dedup_clusters": _q_dedup_clusters,
         "salted_lang_counts": _q_salted_lang_counts,
         "top_users": _q_top_users,
@@ -670,6 +691,19 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS cnt, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"
+        ),
+        "latest_events": (
+            "SELECT user_id, event_id AS last_event_id, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts FROM ("
+            "SELECT user_id, event_id, ts, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "train_split": (
+            f"SELECT doc_id, CASE WHEN CAST(concat('0x', substring("
+            f"md5(concat('42', ':', doc_id)), 1, 15)) AS BIGINT) "
+            f"< {int(0.8 * (1 << 60))} THEN 'train' ELSE 'holdout' END AS split "
+            f"FROM documents"
         ),
         "salted_lang_counts": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"

@@ -75,6 +75,42 @@ def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def latest_per_key(df: DataFrame, key_col: str, order_col: str,
+                   tiebreak_col: str) -> DataFrame:
+    """Recency dedup: keep each key's most recent row (snapshot semantics —
+    e.g. one row per url at its latest warc_ts across crawls).
+
+    ``tiebreak_col`` makes the choice total when ``order_col`` ties, so the
+    result is deterministic and oracle-checkable. One shuffle on the key;
+    the window computes per-group max without materializing a sort of the
+    whole partition (rank-1 filter prunes in the window exec).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.desc(order_col),
+                                            F.desc(tiebreak_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def hash_split(df: DataFrame, key_col: str, train_fraction: float = 0.8,
+               seed: str = "42", split_col: str = "split") -> DataFrame:
+    """Deterministic hash-based train/holdout assignment — the reproducible
+    alternative to ``df.sample()`` for building training-data splits: a
+    key's split never changes across runs, cluster sizes, or partitionings,
+    and the SAME function is expressible in any engine (md5 is portable;
+    xxhash64 is not).
+
+    Assignment: first 15 hex chars of md5(seed:key) as a 60-bit integer,
+    train iff below ``train_fraction * 2^60``. Map-only (no shuffle, no
+    RNG state); membership is a pure function of (seed, key).
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed),
+                                             F.col(key_col))), 1, 15),
+               16, 10).cast("long")
+    thresh = int(train_fraction * (1 << 60))
+    return df.withColumn(
+        split_col, F.when(h < thresh, F.lit("train")).otherwise(F.lit("holdout")))
+
+
 def dedup_components(pairs: DataFrame, all_ids: DataFrame,
                      id_col: str = "doc_id", max_iters: int = 20,
                      check_every: int = 3) -> DataFrame:

@@ -176,6 +176,43 @@ class TestIvf:
             assert np.allclose(got, expect)
 
 
+class TestPipelineRelational:
+    def test_latest_per_key_one_row_per_key_max_order(self, spark):
+        from filterz_spark.ops.relational import latest_per_key
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        latest = latest_per_key(ev, "user_id", "ts", "event_id").cache()
+        assert latest.count() == ev.select("user_id").distinct().count()
+        maxes = ev.groupBy("user_id").agg(F.max("ts").alias("mx"))
+        joined = latest.join(maxes, "user_id")
+        assert joined.filter(F.col("ts") != F.col("mx")).count() == 0
+        latest.unpersist()
+
+    def test_hash_split_deterministic_and_partition_independent(self, spark):
+        from filterz_spark.ops.relational import hash_split
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        a = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id", 0.8, "42").select("doc_id", "split").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.repartition(7), "doc_id", 0.8, "42")
+             .select("doc_id", "split").collect()}
+        assert a == b, "split must be a pure function of (seed, key)"
+        frac = sum(v == "train" for v in a.values()) / len(a)
+        assert 0.7 < frac < 0.9  # binomial around 0.8 at n=500
+        c = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id", 0.8, "43").select("doc_id", "split").collect()}
+        assert a != c, "different seed must reshuffle the split"
+
+    def test_hash_split_is_map_only(self, spark):
+        from filterz_spark.ops.relational import hash_split
+        import io
+        from contextlib import redirect_stdout
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            hash_split(docs, "doc_id").explain("simple")
+        assert "Exchange" not in buf.getvalue()
+
+
 class TestScaleHardening:
     """Round-2 scale fixes: LSH hot-bucket cap, recall-1 ANN regimes,
     materialized IVF index, convergence guard, rolling-window semantics."""
