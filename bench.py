@@ -181,7 +181,9 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
                     payload["local8"]["builds"][k]["payload_sha256"]
                     == payload["local32"]["builds"][k]["payload_sha256"]
                     for k in payload["local8"]["builds"]),
-                "build_scaling_efficiency": payload.get("efficiency"),
+                "build_scaling_efficiency": {
+                    k: {kk: vv for kk, vv in v.items() if kk != "bare"}
+                    for k, v in payload.get("efficiency", {}).items()},
                 "ref_wall_ratio_local32_20m": (
                     {k: round(payload["local32"]["builds"][k]["sec"] / ref, 2)
                      for k, ref in payload.get("ref_walls_20m", {}).items()}
