@@ -476,6 +476,23 @@ def _q_media_features(spark, sf_dir):
                     F.size("features").alias("dim")))
 
 
+def _q_media_resize(spark, sf_dir):
+    """Area-resample plumbing with a VALUE-level oracle: a 2x2 box filter
+    preserves the source sum exactly (integer byte sums are exact in
+    float), so sum(pixels)*4 reconstructs the byte sum of the first 256
+    payload bytes — which DuckDB recomputes from the text's ascii codes."""
+    from filterz_spark.ops.multimodal import attach_media, resize_image
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    px = resize_image(media, out_h=8, out_w=8)
+    return px.select(
+        "media_id",
+        F.size("pixels").alias("out_dim"),
+        F.round(F.aggregate("pixels", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")) * 4, 0)
+        .cast("long").alias("src_byte_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / dedup / text (SQL-oracled)
@@ -519,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -805,5 +823,15 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) AS n_payload_bytes, "
             "CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END AS feat_sum, "
             "16 AS dim FROM documents"
+        ),
+        # resize invariant: sum(resized)*block_area == byte sum of the first
+        # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
+        # per-char ascii codes ARE the payload bytes)
+        "media_resize": (
+            "SELECT doc_id AS media_id, 64 AS out_dim, "
+            "CAST(coalesce(list_aggregate(list_transform("
+            "range(1, least(length(text), 256) + 1), "
+            "i -> ascii(substring(text, i, 1))), 'sum'), 0) AS BIGINT) "
+            "AS src_byte_sum FROM documents"
         ),
     }

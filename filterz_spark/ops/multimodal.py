@@ -87,6 +87,60 @@ def decode_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZE_SRC = 16  # fake-decoder source grid side (first SRC*SRC payload bytes)
+
+
+def _resize_fn(out_h: int, out_w: int, fake: bool):
+    if RESIZE_SRC % out_h or RESIZE_SRC % out_w:
+        raise ValueError(f"out dims must divide {RESIZE_SRC}")
+    bh, bw = RESIZE_SRC // out_h, RESIZE_SRC // out_w
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires decoding the payload first "
+                    "(PIL/libjpeg, not present in this container); run with "
+                    "fake=True to treat the payload bytes as the pixel grid"
+                )
+            ids = batch.column(0)
+            out = []
+            for p in batch.column(1):
+                raw = np.frombuffer(p.as_py() or b"", dtype=np.uint8)[: RESIZE_SRC * RESIZE_SRC]
+                grid = np.zeros(RESIZE_SRC * RESIZE_SRC, dtype=np.float64)
+                grid[: raw.size] = raw
+                grid = grid.reshape(RESIZE_SRC, RESIZE_SRC)
+                # area (box-filter) resample: each output pixel is the exact
+                # mean of its bh x bw source block, so sum(out)*bh*bw ==
+                # sum(source bytes) exactly — the oracle-checkable invariant
+                small = grid.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
+                out.append(small.astype(np.float32).ravel().tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.list_(pa.float32()))],
+                names=["media_id", "pixels"],
+            )
+
+    return fn
+
+
+def resize_image(media: DataFrame, out_h: int = 8, out_w: int = 8,
+                 fake: bool = True) -> DataFrame:
+    """Area-resample the payload pixel grid to (out_h, out_w):
+    (media_id, pixels array<float> of length out_h*out_w).
+
+    Fake path treats the first ``RESIZE_SRC**2`` payload bytes as a
+    zero-padded ``RESIZE_SRC x RESIZE_SRC`` grayscale grid (a real decoder
+    would produce the grid from the codec instead — same downstream shape).
+    Box averaging over integer-divisor blocks is EXACT in float (byte sums
+    are < 2^24), so the resized sum reconstructs the source byte sum — a
+    value-level oracle DuckDB can verify from the ascii codes of the text
+    payload. Map-only Arrow pass: parallelizes with the scan, no shuffle.
+    """
+    return media.select("media_id", "payload").mapInArrow(
+        _resize_fn(out_h, out_w, fake), "media_id long, pixels array<float>"
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: one row per sampled frame
     timestamp (plumbing real; frame decode stubbed like decode_image)."""

@@ -122,6 +122,32 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|real image decode"):
             decode_image_features(media, fake=False).collect()
 
+    def test_resize_box_filter_exact(self, spark, docs):
+        """Box resample preserves the source byte sum exactly and is
+        parallelism-independent; short payloads are zero-padded."""
+        from filterz_spark.ops.multimodal import attach_media, resize_image
+        media = attach_media(docs.limit(20))
+        px = {r["media_id"]: r["pixels"] for r in resize_image(media).collect()}
+        px2 = {r["media_id"]: r["pixels"]
+               for r in resize_image(media.repartition(5)).collect()}
+        assert px == px2
+        payloads = {r["media_id"]: bytes(r["payload"])
+                    for r in media.select("media_id", "payload").collect()}
+        for mid, p in payloads.items():
+            assert len(px[mid]) == 64
+            assert sum(px[mid]) * 4 == sum(p[:256])
+
+    def test_resize_real_stub_raises(self, spark, docs):
+        from filterz_spark.ops.multimodal import attach_media, resize_image
+        media = attach_media(docs.limit(2))
+        with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+            resize_image(media, fake=False).collect()
+
+    def test_resize_rejects_non_divisor_dims(self, spark, docs):
+        from filterz_spark.ops.multimodal import attach_media, resize_image
+        with pytest.raises(ValueError, match="must divide"):
+            resize_image(attach_media(docs.limit(1)), out_h=5)
+
     def test_frame_sample_plan(self, spark, docs):
         from filterz_spark.ops.multimodal import attach_media, frame_sample
         media = attach_media(docs.limit(10)).withColumn(
