@@ -459,6 +459,20 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(emb, qvec, centroids, k=10, n_probe=16, index=index)
 
 
+def _q_pq_ann_topk(spark, sf_dir):
+    """PQ-ADC ANN in the exact-rerank regime: codebooks trained and every
+    vector surviving to the exact rerank stage (rerank = corpus size), so
+    the result provably equals the exact top-k — the oracle. The LUT-scored
+    code table and broadcast candidate join run for real; lossy-rerank
+    recall is gated in tests/test_ops.py."""
+    from filterz_spark.ops.similarity import pq_ann_topk, pq_encode, pq_train
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 1").select("embedding").collect()[0][0]
+    cb = pq_train(emb, m=4, k_sub=16, iters=2)
+    codes = pq_encode(emb, cb)
+    return pq_ann_topk(emb, qvec, cb, k=10, rerank=emb.count(), codes=codes)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
     }
@@ -803,6 +818,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
             "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine "
+            "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "pq_ann_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT v AS qv FROM e WHERE vec_id = 1) "
             "SELECT vec_id, round(list_dot_product(v, qv) / "
             "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine "
             "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10"

@@ -278,6 +278,123 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold))
 
 
+def pq_train(embeddings: DataFrame, m: int = 4, k_sub: int = 16,
+             iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> np.ndarray:
+    """Product-quantization codebooks: (m, k_sub, dim/m) float64.
+
+    The vector is split into ``m`` contiguous subspaces; each gets its own
+    k-means codebook (L2, Lloyd). Same determinism discipline as
+    ``ivf_train``: init from the ``k_sub`` lowest-id vectors' subvectors,
+    every iteration is one corpus scan (codes for ALL subspaces computed in
+    one Arrow pass) + one small shuffle (m*k_sub*dim grouped means, packed
+    to m*k_sub collected rows). Codebooks stay driver-side: m*k_sub*dim
+    doubles (e.g. 8*256*768 = 12 MB at embedding scale) — broadcastable.
+    """
+    first = (embeddings.orderBy(id_col).limit(k_sub).select(vec_col).collect())
+    init = np.array([r[0] for r in first], dtype=np.float64)
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = np.stack([init[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+    for _ in range(iters):
+        codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+        joined = codes.join(embeddings.select(id_col, vec_col), id_col)
+        ex = joined.select(
+            "codes", F.posexplode(vec_col).alias("d", "x"))
+        sub = (F.col("d") / dsub).cast("int")
+        means = (
+            ex.select(sub.alias("sub"),
+                      F.element_at("codes", sub + 1).alias("cluster"),
+                      "d", F.col("x").cast("double").alias("x"))
+            .groupBy("sub", "cluster", "d").agg(F.avg("x").alias("mval"))
+            .groupBy("sub", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mval"))).alias("dm"))
+        )
+        for r in means.collect():  # m*k_sub rows, executor-side packing
+            for e in r["dm"]:
+                codebooks[r["sub"]][r["cluster"]][e["d"] % dsub] = e["mval"]
+    return codebooks
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int> of length m): nearest sub-centroid per subspace
+    (L2). One Arrow-batched map pass — at corpus scale this table (m bytes
+    of code per vector vs dim floats) IS the compressed index you persist."""
+    m, k_sub, dsub = codebooks.shape
+    cb = codebooks.tolist()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        c = np.asarray(cb, dtype=np.float64)            # (m, k_sub, dsub)
+        cnorm2 = (c * c).sum(axis=2)                    # (m, k_sub)
+        for batch in batches:
+            ids = batch.column(0)
+            mat = _batch_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            codes = np.empty((mat.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * dsub:(j + 1) * dsub]
+                # argmin_c |x-c|^2 = argmin_c |c|^2 - 2 x.c (|x|^2 constant)
+                codes[:, j] = np.argmin(cnorm2[j] - 2.0 * (x @ c[j].T), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes.tolist(), pa.list_(pa.int32()))],
+                names=[id_col, "codes"])
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        fn, f"{id_col} long, codes array<int>")
+
+
+def pq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
+                codebooks: np.ndarray, k: int = 10, rerank: int = 100,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                codes: DataFrame | None = None) -> DataFrame:
+    """PQ-ADC ANN: rank by asymmetric-distance cosine computed from per-
+    subspace lookup tables over the code table (m table lookups per vector,
+    never touching the full vectors), take the top-``rerank`` candidates,
+    then exact-cosine rerank on only those.
+
+    ADC cosine ~= sum_j LUT_dot[j][code_j] / sqrt(sum_j LUT_n2[j][code_j]):
+    both numerator and reconstructed norm come from (m, k_sub) LUTs computed
+    once from the query. ``rerank >= corpus size`` provably degenerates to
+    the exact top-k (every vector survives to the exact stage) — the oracle
+    regime; real deployments run rerank ~ 10-100x k. Pass ``codes`` (from
+    ``pq_encode``, persisted) to serve query workloads without re-encoding.
+    """
+    m, k_sub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut_dot = np.stack([codebooks[j] @ q[j * dsub:(j + 1) * dsub]
+                        for j in range(m)])                    # (m, k_sub)
+    lut_n2 = (codebooks * codebooks).sum(axis=2)               # (m, k_sub)
+    ld, ln = lut_dot.tolist(), lut_n2.tolist()
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+
+    def score_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        d = np.asarray(ld)
+        n2 = np.asarray(ln)
+        cols = np.arange(m)
+        for batch in batches:
+            ids = batch.column(0)
+            codes_arr = batch.column(1)
+            if len(codes_arr) == 0:
+                continue
+            cm = (codes_arr.flatten().to_numpy(zero_copy_only=False)
+                  .astype(np.int64).reshape(len(codes_arr), m))
+            dots = d[cols, cm].sum(axis=1)
+            norms = np.sqrt(n2[cols, cm].sum(axis=1))
+            score = dots / np.maximum(norms, 1e-12)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(score, pa.float64())], names=[id_col, "adc"])
+
+    scored = codes.mapInArrow(score_fn, f"{id_col} long, adc double")
+    cand = scored.orderBy(F.desc("adc"), F.col(id_col)).limit(rerank).select(id_col)
+    subset = embeddings.join(F.broadcast(cand), id_col)
+    return cosine_topk(subset, query_vec, k, vec_col, id_col)
+
+
 def lsh_ann_topk(embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
                  num_planes: int = 12, multiprobe: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -157,6 +157,37 @@ class TestMultimodal:
         assert frames.filter("ts_ms > duration_ms").count() == 0 or True
 
 
+class TestPq:
+    def test_pq_encode_shape_and_determinism(self, spark, emb):
+        from filterz_spark.ops.similarity import pq_encode, pq_train
+        cb = pq_train(emb, m=4, k_sub=16, iters=2)
+        assert cb.shape == (4, 16, 16)
+        cb2 = pq_train(emb.repartition(7), m=4, k_sub=16, iters=2)
+        assert np.allclose(cb, cb2), "PQ training must be partition-independent"
+        codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+        assert len(codes) == emb.count()
+        assert all(len(c) == 4 and all(0 <= v < 16 for v in c)
+                   for c in codes.values())
+
+    def test_pq_adc_recall_and_exact_regime(self, spark, emb):
+        from filterz_spark.ops.similarity import (cosine_topk, pq_ann_topk,
+                                                  pq_train)
+        cb = pq_train(emb, m=4, k_sub=16, iters=2)
+        q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+        brute = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+        ann = [r["vec_id"] for r in pq_ann_topk(emb, q, cb, 10, rerank=50).collect()]
+        assert len(set(brute) & set(ann)) >= 5, f"ADC recall too low: {set(brute) & set(ann)}"
+        # rerank >= corpus: provably the exact top-k, same order
+        full = [r["vec_id"] for r in
+                pq_ann_topk(emb, q, cb, 10, rerank=emb.count()).collect()]
+        assert full == brute
+
+    def test_pq_rejects_non_divisor_m(self, spark, emb):
+        from filterz_spark.ops.similarity import pq_train
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=5, k_sub=8, iters=1)
+
+
 class TestIvf:
     def test_ivf_recall_and_determinism(self, spark, emb):
         from filterz_spark.ops.similarity import cosine_topk, ivf_ann_topk, ivf_train
