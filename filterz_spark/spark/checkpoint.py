@@ -76,11 +76,15 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
                 f"parameters: {lineage} vs {expected}"
             )
         done = frozenset(lineage["completed_partitions"])
+        lineage.setdefault("snapshots", [])
     else:
-        lineage = {**expected, "epoch": 0, "completed_partitions": []}
+        lineage = {**expected, "epoch": 0, "completed_partitions": [],
+                   "snapshots": []}
         done = frozenset()
 
     if len(done) < num_partitions:
+        import time as _time
+        t0 = _time.monotonic()
         skip = done
         new_index = build_filter_index(
             df, key_col, kind, params, num_partitions, skip_pids=skip
@@ -109,6 +113,28 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
         new_index.write.mode("append").parquet(_state_path(checkpoint_dir))
         lineage["completed_partitions"] = sorted(set(done) | completed_now)
         lineage["epoch"] += 1
+        # Iceberg-style snapshot record: what this epoch added and its build
+        # metrics, aggregated from the (tiny — one row per partition shard)
+        # state table it just wrote, NOT from re-running the build plan
+        from pyspark.sql import functions as F
+        new_pids = sorted(set(completed_now) - set(done))
+        stats = (spark.read.parquet(_state_path(checkpoint_dir))
+                 .filter(F.col("partition_id").isin(new_pids))
+                 .dropDuplicates(["partition_id", "shard"])
+                 .agg(F.count("*").alias("shards"),
+                      F.coalesce(F.sum("num_keys"), F.lit(0)).alias("keys"),
+                      F.coalesce(F.sum("build_ns"), F.lit(0)).alias("build_ns"),
+                      F.coalesce(F.sum("mem_usage"), F.lit(0)).alias("mem"))
+                 .collect()[0]) if new_pids else None
+        lineage["snapshots"].append({
+            "epoch": lineage["epoch"],
+            "new_partitions": new_pids,
+            "shards": int(stats["shards"]) if stats else 0,
+            "keys": int(stats["keys"]) if stats else 0,
+            "build_ns": int(stats["build_ns"]) if stats else 0,
+            "mem_usage": int(stats["mem"]) if stats else 0,
+            "wall_s": round(_time.monotonic() - t0, 3),
+        })
         with open(_lineage_path(checkpoint_dir), "w") as f:
             json.dump(lineage, f)
 

@@ -204,6 +204,31 @@ class TestCheckpointResume:
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
+    def test_snapshot_history(self, spark, pages):
+        """Lineage carries one snapshot per epoch with build metrics; a
+        completed checkpoint re-run is a no-op (no new snapshot)."""
+        import json as _json
+        base = tempfile.mkdtemp(prefix="fz_ckpt_")
+        try:
+            kw = dict(kind="xorf", params={"arity": 3, "fp_bits": 16},
+                      num_partitions=8)
+            checkpointed_build(spark, pages, "url", base, fail_after=3, **kw)
+            checkpointed_build(spark, pages, "url", base, **kw)
+            checkpointed_build(spark, pages, "url", base, **kw)  # no-op
+            with open(f"{base}/_lineage.json") as f:
+                lineage = _json.load(f)
+            snaps = lineage["snapshots"]
+            assert [s["epoch"] for s in snaps] == [1, 2]
+            assert len(snaps[0]["new_partitions"]) == 3
+            assert sorted(snaps[0]["new_partitions"]
+                          + snaps[1]["new_partitions"]) == list(range(8))
+            total_keys = sum(s["keys"] for s in snaps)
+            assert total_keys == pages.select("url").distinct().count()
+            assert all(s["build_ns"] > 0 and s["wall_s"] > 0 and s["shards"]
+                       >= len(s["new_partitions"]) for s in snaps)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     def test_param_mismatch_rejected(self, spark, pages):
         base = tempfile.mkdtemp(prefix="fz_ckpt_")
         try:
