@@ -84,7 +84,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                         max_bucket_size: int | None = 10_000,
                         materialize_signatures: bool = True,
-                        signatures: DataFrame | None = None) -> DataFrame:
+                        signatures: DataFrame | None = None,
+                        pair_strategy: str = "group") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
@@ -106,12 +107,44 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     False`` only when a localCheckpoint is unaffordable (no storage), or
     supply your own (materialized) ``signatures`` array table to share it
     across the candidate -> Jaccard -> components pipeline.
+
+    ``pair_strategy`` picks the within-bucket pair-generation plan; both
+    produce identical results and shuffle the SAME (band, minhash) key, so
+    they share one skew profile (a hot bucket lands on one reducer either
+    way — that is what ``max_bucket_size`` bounds):
+
+    - ``"group"`` (default): ONE shuffle — groupBy the bucket key, collect
+      the (capped) member list, expand ordered pairs expression-side
+      (posexplode x slice). No self-join, no window sort, and the bucket
+      cap is a free ``size()`` filter on the aggregated row.
+    - ``"join"``: the classic bucketed self-join (window count for the cap,
+      equi-join, pair groupBy). Kept for memory-constrained reducers: its
+      per-bucket state is streamed join rows, never a whole member array.
     """
+    if pair_strategy not in ("group", "join"):
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     sig_arr = signatures if signatures is not None \
         else minhash_signature_arrays(docs, num_hashes, k)
     if materialize_signatures and signatures is None:
         sig_arr = sig_arr.localCheckpoint(eager=True)
     sig = minhash_signatures(docs, num_hashes, k, signatures=sig_arr)
+
+    if pair_strategy == "group":
+        buckets = (sig.groupBy("band", "minhash")
+                   .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                   .filter(F.size("ids") >= 2))
+        if max_bucket_size is not None:
+            buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+        # ordered pairs from the sorted member list: (i, doc_a) x the tail
+        # slice after i — doc_a < doc_b holds by construction
+        e = buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        pairs = e.select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2,
+                              F.size("ids") - F.col("i") - 1)).alias("doc_b"))
+        return (pairs.groupBy("doc_a", "doc_b")
+                .agg(F.count("*").cast("long").alias("n_bands")))
+
     if max_bucket_size is not None:
         # bucket size as a WINDOW count over the same (band, minhash) key
         # the self-join shuffles on — no extra aggregation+join subtree

@@ -157,6 +157,27 @@ class TestMultimodal:
         assert frames.filter("ts_ms > duration_ms").count() == 0 or True
 
 
+class TestLshStrategies:
+    def test_group_and_join_strategies_identical(self, spark, docs):
+        from filterz_spark.ops.dedup import lsh_candidate_pairs
+        g = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+             for r in lsh_candidate_pairs(docs, pair_strategy="group").collect()}
+        j = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+             for r in lsh_candidate_pairs(docs, pair_strategy="join").collect()}
+        assert g == j and len(g) > 0
+
+    def test_group_strategy_respects_bucket_cap(self, spark, docs):
+        from filterz_spark.ops.dedup import lsh_candidate_pairs
+        # cap of 1 excludes every bucket with >= 2 members: no pairs at all
+        assert lsh_candidate_pairs(docs, max_bucket_size=1,
+                                   pair_strategy="group").count() == 0
+
+    def test_unknown_strategy_rejected(self, spark, docs):
+        from filterz_spark.ops.dedup import lsh_candidate_pairs
+        with pytest.raises(ValueError, match="pair_strategy"):
+            lsh_candidate_pairs(docs, pair_strategy="nope")
+
+
 class TestPq:
     def test_pq_encode_shape_and_determinism(self, spark, emb):
         from filterz_spark.ops.similarity import pq_encode, pq_train
