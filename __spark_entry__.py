@@ -507,6 +507,23 @@ def _q_media_resize(spark, sf_dir):
     )
 
 
+def _q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters: distinct-word ratio and top word /
+    bigram fractions per doc — full-value SQL oracle."""
+    from filterz_spark.ops.text import repetition_scores
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per train doc, the fraction of its
+    distinct 3-gram shingles found in the (broadcast) benchmark shingle
+    set. Benchmark = every 50th doc — deterministic, engine-agnostic."""
+    from filterz_spark.ops.dedup import ngram_decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_decontaminate(docs.filter("doc_id % 50 != 0"),
+                               docs.filter("doc_id % 50 = 0"), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / dedup / text (SQL-oracled)
@@ -524,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "bpe_token_counts": _q_bpe_token_counts,
+        "repetition_scores": _q_repetition_scores,
+        "decontaminate": _q_decontaminate,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -591,6 +610,15 @@ def oracle_sql() -> dict[str, str]:
         "i -> array_to_string(w[i:i+1], ' '))) AS shingle "
         "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
     )
+    # k=3 shingles over a filtered documents subset (decontamination oracle)
+    def shingle3_sql(where: str) -> str:
+        return (
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1), "
+            "i -> array_to_string(w[i:i+2], ' '))) AS shingle "
+            f"FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents "
+            f"WHERE {where})"
+        )
+
     minhash_sql = (
         f"SELECT doc_id, band, min(md5(concat(band, ':', shingle))) AS minhash "
         f"FROM ({shingle_sql}) s, (SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
@@ -849,6 +877,36 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "repetition_scores": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w), "
+            "ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, "
+            "max(c) AS top_w FROM wc GROUP BY doc_id), "
+            f"sh AS ({shingle_sql}), "
+            "bc AS (SELECT doc_id, shingle, count(*) AS c FROM sh "
+            "GROUP BY doc_id, shingle), "
+            "bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc "
+            "GROUP BY doc_id) "
+            "SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "round(n_distinct / CAST(n_words AS DOUBLE), 4) AS distinct_ratio, "
+            "round(top_w / CAST(n_words AS DOUBLE), 4) AS top_word_frac, "
+            "round(top_b / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_frac "
+            "FROM ws JOIN bs ON ws.doc_id = bs.doc_id"
+        ),
+        "decontaminate": (
+            f"WITH tsh AS (SELECT DISTINCT doc_id, shingle FROM "
+            f"({shingle3_sql('doc_id % 50 != 0')})), "
+            f"bsh AS (SELECT DISTINCT shingle FROM "
+            f"({shingle3_sql('doc_id % 50 = 0')})) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+            "CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS contaminated_n, "
+            "round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 4) AS contamination "
+            "FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle "
+            "GROUP BY t.doc_id"
+        ),
         "media_resize": (
             "SELECT doc_id AS media_id, 64 AS out_dim, "
             "CAST(coalesce(list_aggregate(list_transform("

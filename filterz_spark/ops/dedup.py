@@ -196,6 +196,33 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
     return j.filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
+                        min_contamination: float = 0.0) -> DataFrame:
+    """Benchmark decontamination: per train doc, what fraction of its
+    distinct k-gram shingles appears in ANY benchmark document —
+    (doc_id, n_shingles, contaminated_n, contamination).
+
+    The scale shape: the benchmark suite is tiny next to the corpus, so its
+    distinct shingle set is BROADCAST and the check is a map-only left join
+    on the corpus side (no corpus shuffle beyond the per-doc aggregate).
+    Docs at or above ``min_contamination`` are returned — feed the ids to
+    an anti-join to drop them from the training set.
+    """
+    bench_sh = (shingles(bench, k=k).select("shingle").distinct()
+                .withColumn("hit", F.lit(1)))
+    tr = shingles(train, k=k).dropDuplicates(["doc_id", "shingle"])
+    marked = tr.join(F.broadcast(bench_sh), "shingle", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("contaminated_n"))
+            .select("doc_id", F.col("n_shingles").cast("long").alias("n_shingles"),
+                    "contaminated_n",
+                    F.round(F.col("contaminated_n") / F.col("n_shingles"), 4)
+                    .alias("contamination"))
+            .filter(F.col("contamination") >= min_contamination))
+
+
 SIMHASH_BITS = 60  # 15 md5 hex chars -> non-negative int64, portable SQL
 
 

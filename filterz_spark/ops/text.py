@@ -23,6 +23,40 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, n_words, distinct_ratio, top_word_frac, top_bigram_frac).
+
+    distinct_ratio = distinct/total words; top_word_frac = most frequent
+    word's share of all words; top_bigram_frac = most frequent bigram's
+    share of all bigrams. Boilerplate/spam pages score low distinct_ratio
+    and high top-fractions — the standard pre-training repetition filters.
+
+    Plan: one explode per granularity feeding a two-level aggregate
+    (map-side combined), all JVM built-ins; at corpus scale this is the
+    same shuffle shape as a word count.
+    """
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wstats = (words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_words"),
+                   F.count("*").alias("n_distinct"),
+                   F.max("c").alias("top_w")))
+    from .dedup import shingles
+    bstats = (shingles(docs, k=2).groupBy("doc_id", "shingle")
+              .agg(F.count("*").alias("c"))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b")))
+    return (wstats.join(bstats, "doc_id")
+            .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                    F.round(F.col("n_distinct") / F.col("n_words"), 4)
+                    .alias("distinct_ratio"),
+                    F.round(F.col("top_w") / F.col("n_words"), 4)
+                    .alias("top_word_frac"),
+                    F.round(F.col("top_b") / F.col("n_bigrams"), 4)
+                    .alias("top_bigram_frac")))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + char count per document."""
     return docs.select(

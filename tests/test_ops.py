@@ -157,6 +157,40 @@ class TestMultimodal:
         assert frames.filter("ts_ms > duration_ms").count() == 0 or True
 
 
+class TestRepetitionAndDecontamination:
+    def test_repetition_extremes(self, spark):
+        from filterz_spark.ops.text import repetition_scores
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "all words here differ")],
+            ["doc_id", "text"])
+        r = {x["doc_id"]: x for x in repetition_scores(df).collect()}
+        assert r[1]["distinct_ratio"] == 0.25 and r[1]["top_word_frac"] == 1.0 \
+            and r[1]["top_bigram_frac"] == 1.0
+        assert r[2]["distinct_ratio"] == 1.0 and r[2]["top_word_frac"] == 0.25
+
+    def test_decontaminate_bounds(self, spark):
+        from filterz_spark.ops.dedup import ngram_decontaminate
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "totally novel text body")],
+            ["doc_id", "text"])
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], ["doc_id", "text"])
+        c = {x["doc_id"]: x for x in ngram_decontaminate(train, bench).collect()}
+        assert c[1]["contamination"] == 1.0  # verbatim benchmark doc
+        assert c[2]["contamination"] == 0.0
+        flagged = ngram_decontaminate(train, bench, min_contamination=0.5)
+        assert [r["doc_id"] for r in flagged.collect()] == [1]
+
+    def test_decontaminate_is_broadcast_map_only(self, spark, docs):
+        """The benchmark side must be a broadcast join — no shuffle of the
+        corpus for the membership check (the 100-TB posture)."""
+        from filterz_spark.ops.dedup import ngram_decontaminate
+        plan = ngram_decontaminate(
+            docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestLshStrategies:
     def test_group_and_join_strategies_identical(self, spark, docs):
         from filterz_spark.ops.dedup import lsh_candidate_pairs
