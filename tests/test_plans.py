@@ -104,16 +104,27 @@ def test_lsh_candidate_pairs_single_signature_pass(spark):
     uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None))
     assert n_scans(capped) == 0, (n_scans(capped), capped[:500])
     assert n_scans(uncapped) == 0, uncapped
-    # lazy opt-out: the self-join re-executes the signature subtree per
-    # side (2 scans); the cap's WINDOW count — keyed on the join's own
-    # (band, minhash) — must not add more (an aggregate+join formulation
-    # would double the scans to 4)
+    # lazy opt-out, group strategy (default): no self-join exists, so even
+    # the un-materialized plan reads the corpus exactly ONCE — and the
+    # bucket cap (a size() filter on the aggregated row) must not add scans
     lazy_capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000,
                                            materialize_signatures=False))
     lazy_uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None,
                                              materialize_signatures=False))
-    assert n_scans(lazy_uncapped) == 2, lazy_uncapped
-    assert n_scans(lazy_capped) == 2, (n_scans(lazy_capped), lazy_capped[:500])
+    assert n_scans(lazy_uncapped) == 1, lazy_uncapped
+    assert n_scans(lazy_capped) == 1, (n_scans(lazy_capped), lazy_capped[:500])
+    # lazy opt-out, join strategy: the self-join re-executes the signature
+    # subtree per side (2 scans); the cap's WINDOW count — keyed on the
+    # join's own (band, minhash) — must not add more (an aggregate+join
+    # formulation would double the scans to 4)
+    jl_capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000,
+                                         materialize_signatures=False,
+                                         pair_strategy="join"))
+    jl_uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None,
+                                           materialize_signatures=False,
+                                           pair_strategy="join"))
+    assert n_scans(jl_uncapped) == 2, jl_uncapped
+    assert n_scans(jl_capped) == 2, (n_scans(jl_capped), jl_capped[:500])
 
 
 def test_minhash_signature_single_doc_aggregate(spark):
