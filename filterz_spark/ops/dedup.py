@@ -197,7 +197,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
 
 
 def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
-                        min_contamination: float = 0.0) -> DataFrame:
+                        min_contamination: float = 0.0,
+                        broadcast_bench: bool = True) -> DataFrame:
     """Benchmark decontamination: per train doc, what fraction of its
     distinct k-gram shingles appears in ANY benchmark document —
     (doc_id, n_shingles, contaminated_n, contamination).
@@ -207,11 +208,17 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
     on the corpus side (no corpus shuffle beyond the per-doc aggregate).
     Docs at or above ``min_contamination`` are returned — feed the ids to
     an anti-join to drop them from the training set.
+
+    ``broadcast_bench=False`` switches to a shuffle join on the shingle —
+    for the rare case where the "benchmark" side is itself corpus-sized
+    (e.g. cross-corpus decontamination) and would not fit an executor.
     """
     bench_sh = (shingles(bench, k=k).select("shingle").distinct()
                 .withColumn("hit", F.lit(1)))
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     tr = shingles(train, k=k).dropDuplicates(["doc_id", "shingle"])
-    marked = tr.join(F.broadcast(bench_sh), "shingle", "left")
+    marked = tr.join(bench_sh, "shingle", "left")
     return (marked.groupBy("doc_id")
             .agg(F.count("*").alias("n_shingles"),
                  F.sum(F.coalesce("hit", F.lit(0))).cast("long")

@@ -180,6 +180,10 @@ class TestRepetitionAndDecontamination:
         assert c[2]["contamination"] == 0.0
         flagged = ngram_decontaminate(train, bench, min_contamination=0.5)
         assert [r["doc_id"] for r in flagged.collect()] == [1]
+        # shuffle-join fallback must produce identical results
+        c2 = {x["doc_id"]: x["contamination"] for x in
+              ngram_decontaminate(train, bench, broadcast_bench=False).collect()}
+        assert c2 == {1: 1.0, 2: 0.0}
 
     def test_decontaminate_is_broadcast_map_only(self, spark, docs):
         """The benchmark side must be a broadcast join — no shuffle of the
