@@ -524,6 +524,22 @@ def _q_decontaminate(spark, sf_dir):
                                docs.filter("doc_id % 50 = 0"), k=3)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-lang mixture sampling (downsample en, keep de) —
+    a pure function of (seed, doc_id), so DuckDB reproduces the exact rows."""
+    from filterz_spark.ops.relational import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "doc_id", {"en": 0.5, "de": 1.0})
+            .select("doc_id", "lang"))
+
+
+def _q_normalized_docs(spark, sf_dir):
+    """Text canonicalization before dedup — full-value oracle on the
+    normalized string and its md5 dedup key."""
+    from filterz_spark.ops.text import normalize_text
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / dedup / text (SQL-oracled)
@@ -541,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "bpe_token_counts": _q_bpe_token_counts,
+        "stratified_sample": _q_stratified_sample,
+        "normalized_docs": _q_normalized_docs,
         "repetition_scores": _q_repetition_scores,
         "decontaminate": _q_decontaminate,
         "minhash_signatures": _q_minhash_signatures,
@@ -877,6 +895,21 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "stratified_sample": (
+            "WITH h AS (SELECT doc_id, lang, CAST(concat('0x', "
+            "substring(md5(concat('42', ':', doc_id)), 1, 15)) AS BIGINT) AS hv "
+            "FROM documents) "
+            f"SELECT doc_id, lang FROM h WHERE "
+            f"(lang = 'en' AND hv < {int(0.5 * (1 << 60))}) "
+            f"OR (lang = 'de' AND hv < {int(1.0 * (1 << 60))})"
+        ),
+        "normalized_docs": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g')) AS norm_text, "
+            "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g'))) AS norm_hash FROM documents"
+        ),
         "repetition_scores": (
             "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
             "FROM documents), "

@@ -111,6 +111,30 @@ def hash_split(df: DataFrame, key_col: str, train_fraction: float = 0.8,
         split_col, F.when(h < thresh, F.lit("train")).otherwise(F.lit("holdout")))
 
 
+def stratified_sample(df: DataFrame, key_col: str, fractions: dict,
+                      strata_col: str = "lang", seed: str = "42") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the 60-bit md5 of
+    (seed:key) falls below its stratum's fraction threshold.
+
+    The training-data mixture op (e.g. downsample boilerplate languages,
+    upweight rare ones ≤ 1.0) with ``hash_split``'s guarantees: membership
+    is a pure function of (seed, key) — reproducible across runs, engines,
+    cluster sizes, and partitionings, unlike ``df.sampleBy`` (RNG state per
+    partition). Map-only: no shuffle, the filter pushes past the scan.
+    Strata absent from ``fractions`` are DROPPED (explicit mixture spec).
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed),
+                                             F.col(key_col))), 1, 15),
+               16, 10).cast("long")
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(strata_col) == stratum) & (h < int(frac * (1 << 60)))
+        cond = c if cond is None else cond | c
+    if cond is None:
+        raise ValueError("fractions must name at least one stratum")
+    return df.filter(cond)
+
+
 def dedup_components(pairs: DataFrame, all_ids: DataFrame,
                      id_col: str = "doc_id", max_iters: int = 20,
                      check_every: int = 3) -> DataFrame:

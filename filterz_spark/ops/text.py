@@ -23,6 +23,22 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonicalization pass before exact/near dedup:
+    (doc_id, norm_text, norm_hash) — lowercase, strip non-alphanumerics,
+    collapse whitespace, plus the md5 of the result (the exact-dedup key).
+
+    Pure per-row JVM expressions (lower/regexp_replace/trim/md5) — map-only,
+    pushes past the scan, identical semantics in ANSI engines (DuckDB twin
+    uses the 'g' replace flag; Spark replaces all matches by default).
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return docs.select("doc_id", t.alias("norm_text"),
+                       F.md5(t).alias("norm_hash"))
+
+
 def repetition_scores(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals per document:
     (doc_id, n_words, distinct_ratio, top_word_frac, top_bigram_frac).

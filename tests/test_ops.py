@@ -195,6 +195,48 @@ class TestRepetitionAndDecontamination:
         assert "BroadcastHashJoin" in plan
 
 
+class TestSamplingAndNormalization:
+    def test_stratified_sample_deterministic_and_proportional(self, spark, docs):
+        from filterz_spark.ops.relational import stratified_sample
+        fr = {"en": 0.5, "de": 1.0}
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, "doc_id", fr).select("doc_id").collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs.repartition(7), "doc_id", fr)
+             .select("doc_id").collect()}
+        assert a == b, "sample membership must be partition-independent"
+        by_lang = {r["lang"]: r["n"] for r in
+                   stratified_sample(docs, "doc_id", fr).groupBy("lang")
+                   .agg(F.count("*").alias("n")).collect()}
+        n_en = docs.filter("lang = 'en'").count()
+        n_de = docs.filter("lang = 'de'").count()
+        assert set(by_lang) == {"en", "de"}, "unlisted strata must drop"
+        assert by_lang["de"] == n_de, "fraction 1.0 keeps the whole stratum"
+        assert abs(by_lang["en"] / n_en - 0.5) < 0.15
+        with pytest.raises(ValueError, match="at least one stratum"):
+            stratified_sample(docs, "doc_id", {})
+
+    def test_stratified_sample_seed_changes_membership(self, spark, docs):
+        from filterz_spark.ops.relational import stratified_sample
+        fr = {"en": 0.5}
+        a = {r["doc_id"] for r in stratified_sample(docs, "doc_id", fr).collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs, "doc_id", fr, seed="7").collect()}
+        assert a != b
+
+    def test_normalize_text_idempotent(self, spark):
+        from filterz_spark.ops.text import normalize_text
+        df = spark.createDataFrame(
+            [(1, "  Hello,   WORLD!! it's 42  "), (2, "already clean words")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+        assert out[1] == "hello world it s 42"
+        assert out[2] == "already clean words"
+        again = normalize_text(
+            spark.createDataFrame([(1, out[1])], ["doc_id", "text"]))
+        assert again.collect()[0]["norm_text"] == out[1]
+
+
 class TestLshStrategies:
     def test_group_and_join_strategies_identical(self, spark, docs):
         from filterz_spark.ops.dedup import lsh_candidate_pairs
