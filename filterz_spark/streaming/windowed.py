@@ -48,6 +48,27 @@ def watermarked_window_counts(stream: DataFrame, ts_col: str = "ts",
     )
 
 
+def streaming_exact_dedup(stream: DataFrame, key_col: str = "text",
+                          ts_col: str | None = None,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: emit each content hash's FIRST arrival only.
+
+    The streaming twin of ``ops.dedup.exact_dedup`` — built on the engine's
+    own ``dropDuplicates`` state store so dedup state survives restarts via
+    the query checkpoint. With ``ts_col`` the key is watermarked
+    (``dropDuplicatesWithinWatermark``): state for hashes older than the
+    watermark is evicted, the bounded-state shape a forever-running ingest
+    needs (an unwatermarked global dedup grows state monotonically — only
+    for bounded backfills). Hashing first keeps state rows at 32 hex chars
+    regardless of document size.
+    """
+    hashed = stream.withColumn("text_hash", F.md5(F.col(key_col)))
+    if ts_col is not None:
+        return (hashed.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["text_hash"]))
+    return hashed.dropDuplicates(["text_hash"])
+
+
 class ForeachBatchSketcher:
     """Per-window mergeable-sketch state updated from streaming micro-batches.
 

@@ -189,3 +189,47 @@ def test_apply_in_pandas_with_state_hll_windows(spark, stream_dirs):
                                         "yyyy-MM-dd HH:mm:ss") == w),
             "user_id", "hll", {"p": 14}).estimate()
         assert abs(batch_est - got[w]) < 1e-6, (w, batch_est, got[w])
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """Streaming dedup must emit exactly the batch-distinct content hashes
+    (first arrival per hash), across multi-chunk arrival, and a restart on
+    the same checkpoint must not re-emit already-seen hashes."""
+    from filterz_spark.streaming.windowed import streaming_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="fz_sdedup_")
+    try:
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        a, b = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+        b.coalesce(1).write.parquet(os.path.join(src, "chunk0"))
+        a.coalesce(1).write.parquet(os.path.join(src, "chunk1"))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("pathGlobFilter", "*.parquet")
+                  .parquet(os.path.join(src, "chunk*")))
+        out_dir = os.path.join(base, "out")
+
+        def run_once():
+            q = (streaming_exact_dedup(stream, key_col="text")
+                 .select("doc_id", "text_hash")
+                 .writeStream.format("parquet").outputMode("append")
+                 .trigger(availableNow=True)
+                 .option("path", out_dir)
+                 .option("checkpointLocation", os.path.join(base, "ckpt"))
+                 .start())
+            q.awaitTermination(120)
+
+        run_once()
+        got = [r["text_hash"] for r in
+               spark.read.parquet(out_dir).collect()]
+        want = {r[0] for r in
+                docs.select(F.md5("text")).distinct().collect()}
+        assert len(got) == len(set(got)), "a hash was emitted twice"
+        assert set(got) == want
+        # restart on the same checkpoint: nothing new to process, and the
+        # dedup state store must survive (no re-emission)
+        run_once()
+        assert spark.read.parquet(out_dir).count() == len(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
