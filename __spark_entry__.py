@@ -473,6 +473,21 @@ def _q_pq_ann_topk(spark, sf_dir):
     return pq_ann_topk(emb, qvec, cb, k=10, rerank=emb.count(), codes=codes)
 
 
+def _q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (inverted lists of PQ codes) in the exact
+    regime: every list probed, every ADC survivor exactly reranked — must
+    equal the exact top-k. Lossy n_probe/rerank recall gated in tests."""
+    from filterz_spark.ops.similarity import (ivf_train, ivfpq_ann_topk,
+                                              ivfpq_index, pq_train)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 2").select("embedding").collect()[0][0]
+    centroids = ivf_train(emb, n_clusters=8, iters=2)
+    cb = pq_train(emb, m=4, k_sub=16, iters=2)
+    idx = ivfpq_index(emb, centroids, cb)
+    return ivfpq_ann_topk(emb, qvec, centroids, cb, k=10, n_probe=8,
+                          rerank=emb.count(), index=idx)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -587,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivfpq_ann_topk": _q_ivfpq_ann_topk,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
     }
@@ -871,6 +887,13 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
             "q AS (SELECT v AS qv FROM e WHERE vec_id = 1) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine "
+            "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "ivfpq_ann_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT v AS qv FROM e WHERE vec_id = 2) "
             "SELECT vec_id, round(list_dot_product(v, qv) / "
             "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine "
             "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10"

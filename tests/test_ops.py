@@ -283,6 +283,27 @@ class TestPq:
                 pq_ann_topk(emb, q, cb, 10, rerank=emb.count()).collect()]
         assert full == brute
 
+    def test_ivfpq_recall_and_exact_regime(self, spark, emb):
+        from filterz_spark.ops.similarity import (cosine_topk, ivf_train,
+                                                  ivfpq_ann_topk, ivfpq_index,
+                                                  pq_train)
+        centroids = ivf_train(emb, n_clusters=8, iters=2)
+        cb = pq_train(emb, m=4, k_sub=16, iters=2)
+        idx = ivfpq_index(emb, centroids, cb)
+        q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+        brute = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+        # lossy regime: partial probe + bounded rerank, gated on recall
+        ann = [r["vec_id"] for r in
+               ivfpq_ann_topk(emb, q, centroids, cb, 10, n_probe=4,
+                              rerank=50, index=idx).collect()]
+        assert len(set(brute) & set(ann)) >= 5, set(brute) & set(ann)
+        # exact regime: all lists probed + rerank everything == exact top-k
+        n = emb.count()
+        full = [r["vec_id"] for r in
+                ivfpq_ann_topk(emb, q, centroids, cb, 10, n_probe=8,
+                               rerank=n, index=idx).collect()]
+        assert full == brute
+
     def test_pq_rejects_non_divisor_m(self, spark, emb):
         from filterz_spark.ops.similarity import pq_train
         with pytest.raises(ValueError, match="not divisible"):
