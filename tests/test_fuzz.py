@@ -75,3 +75,50 @@ def test_fuzz_random_sizes_roundtrip(seed, n):
     f = XorFilter.build(hashes, 3, 16)
     g = XorFilter.deserialize(f.serialize(), f.params())
     assert g.check(hashes).all()
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                     min_size=0, max_size=2000),
+       cuts=st.lists(st.integers(min_value=0, max_value=1999),
+                     min_size=0, max_size=6))
+def test_sparse_hll_equals_dense_under_arbitrary_splits(keys, cuts):
+    """For ANY key multiset and ANY split of it into sparse partials, the
+    merged sparse state must materialize to the exact dense state."""
+    from filterz_spark.sketches import HllSketch
+
+    h = np.array(keys, dtype=np.uint64)
+    dense = HllSketch.zero(p=10)
+    dense.update(h)
+    bounds = sorted({0, len(keys), *[c % (len(keys) + 1) for c in cuts]})
+    parts = []
+    for a, b in zip(bounds, bounds[1:]):
+        s = HllSketch.zero(p=10, sparse=True)
+        s.update(h[a:b])
+        parts.append(s)
+    acc = HllSketch.zero(p=10, sparse=True)
+    for p_ in parts:
+        acc = acc.merge(p_)
+    assert acc._to_dense().tobytes() == dense.registers.tobytes()
+    assert acc.estimate() == dense.estimate()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(payloads=st.lists(st.binary(min_size=0, max_size=600),
+                         min_size=1, max_size=20))
+def test_resize_preserves_byte_sum_for_arbitrary_payloads(payloads):
+    """Box-filter resize: sum(pixels) * block_area == sum of the first 256
+    payload bytes, exactly, for arbitrary binary payloads."""
+    import pyarrow as pa
+    from filterz_spark.ops.multimodal import _resize_fn
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(payloads))), pa.int64()),
+         pa.array(payloads, pa.binary())],
+        names=["media_id", "payload"])
+    [out] = list(_resize_fn(8, 8, True)([batch]))
+    for i, px in enumerate(out.column(1).to_pylist()):
+        assert len(px) == 64
+        assert sum(px) * 4 == sum(payloads[i][:256])
