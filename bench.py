@@ -163,6 +163,10 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
     from filterz_spark.ops.text import rolling_fingerprints
     timed("simhash_docs", lambda: simhash(docs).count())
     timed("rolling_fps", lambda: rolling_fingerprints(docs).count())
+    from filterz_spark.ops.dedup import ngram_decontaminate
+    timed("decontaminate", lambda: ngram_decontaminate(
+        docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0"),
+        k=3).count())
 
     # fold in the two-cluster-size evidence if tools/scaling_bench.py has run
     scaling = None
