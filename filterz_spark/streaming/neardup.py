@@ -1,0 +1,136 @@
+"""Streaming near-duplicate dedup against a persistent signature store.
+
+The incremental-crawl shape: documents arrive in micro-batches; each batch
+is LSH-checked against EVERYTHING ingested so far (a parquet store of
+(doc_id, band, minhash) bucket rows) plus itself, novel docs are emitted,
+and their signatures are appended to the store — so a page seen in any
+earlier batch (or earlier in this batch, by doc_id order) never re-emits.
+
+Novelty contract (deterministic, order-greedy): scanning candidate docs in
+ascending doc_id, a doc is NOVEL iff none of its (band, minhash) buckets
+has been seen before — in the store or on an already-kept doc of this run.
+That is exactly ``greedy_novel``; the streaming and batch paths share it,
+so streaming over N chunks equals the batch computation over the
+concatenated chunks (gated in tests/test_streaming.py).
+
+Scale posture: the store-vs-batch collision check is a distributed
+semi-join on the bucket key (the store never leaves executors; at corpus
+scale it is bucketed-by-minhash parquet). Only the BATCH's signatures are
+collected for the greedy pass — a micro-batch is driver-sized by
+definition (same assumption as foreachBatch sketch merging). Replay
+discipline mirrors ForeachBatchSketcher: at-least-once redeliveries are
+skipped via a batch-id high-watermark tied to a run token, and the store
+append is guarded by recording emitted batch ids — a replayed batch
+neither re-emits nor double-appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.dedup import minhash_signature_arrays
+
+STORE_SCHEMA = "doc_id long, band int, minhash string"
+
+
+def greedy_novel(sig_rows: list, seen_buckets: set) -> list:
+    """Order-greedy novelty: ``sig_rows`` = (doc_id, [minhash per band]),
+    scanned in ascending doc_id. Mutates ``seen_buckets`` with kept docs'
+    buckets; returns kept doc_ids."""
+    novel = []
+    for doc_id, sig in sorted(sig_rows, key=lambda r: r[0]):
+        buckets = [(band, mh) for band, mh in enumerate(sig)]
+        if any(b in seen_buckets for b in buckets):
+            continue
+        seen_buckets.update(buckets)
+        novel.append(doc_id)
+    return novel
+
+
+class StreamingNearDupDedup:
+    """foreachBatch sink: near-dup-dedup each micro-batch against the
+    persistent store, emit novel docs to ``out_dir`` parquet, append their
+    bucket rows to ``store_dir`` parquet.
+
+    Usage:
+        dd = StreamingNearDupDedup(base_dir, num_hashes=8, k=2)
+        q = (stream.writeStream.foreachBatch(dd)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(self, base_dir: str, num_hashes: int = 8, k: int = 2,
+                 run_token: str | None = None) -> None:
+        self.base_dir = base_dir
+        self.store_dir = os.path.join(base_dir, "store")
+        self.out_dir = os.path.join(base_dir, "novel")
+        self.meta_path = os.path.join(base_dir, "meta.json")
+        self.num_hashes = num_hashes
+        self.k = k
+        self.run_token = run_token
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _load_meta(self) -> int:
+        if not os.path.exists(self.meta_path):
+            return -1
+        with open(self.meta_path) as f:
+            obj = json.load(f)
+        if self.run_token is not None and obj.get("run_token") != self.run_token:
+            return -1  # new checkpoint lineage: batch ids restart at 0
+        return obj.get("last_batch_id", -1)
+
+    def _store_meta(self, batch_id: int) -> None:
+        tmp = f"{self.meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": batch_id,
+                       "run_token": self.run_token}, f)
+        os.replace(tmp, self.meta_path)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._load_meta():
+            return  # at-least-once redelivery of an applied batch
+        spark = batch_df.sparkSession
+        sigs = minhash_signature_arrays(batch_df, self.num_hashes, self.k) \
+            .localCheckpoint(eager=True)
+
+        # distributed store-collision check: only COLLIDED batch ids come
+        # back to the driver, the store itself never does
+        exploded = sigs.select(
+            "doc_id", F.posexplode("sig").alias("band", "minhash"))
+        if os.path.exists(self.store_dir):
+            store = spark.read.parquet(self.store_dir)
+            collided = {r["doc_id"] for r in
+                        exploded.join(store, ["band", "minhash"], "left_semi")
+                        .select("doc_id").distinct().collect()}
+        else:
+            collided = set()
+
+        # batch signatures are driver-sized; greedy pass resolves
+        # within-batch collisions deterministically by doc_id order
+        rows = [(r["doc_id"], list(r["sig"])) for r in sigs.collect()
+                if r["doc_id"] not in collided]
+        novel = greedy_novel(rows, set())
+        if novel:
+            novel_df = sigs.filter(F.col("doc_id").isin(novel))
+            # crash ordering: OUT before STORE, with an idempotence guard.
+            # crash after out/before store -> replay recomputes the same
+            # novel set (store unchanged) and the anti-join skips re-append;
+            # crash after store/before meta -> replay sees the docs collide
+            # with their own stored buckets, emits nothing, and out already
+            # has them from before the crash. Either way: exactly once.
+            emit = batch_df.join(novel_df.select("doc_id"), "doc_id", "left_semi")
+            if os.path.exists(self.out_dir):
+                prior = spark.read.parquet(self.out_dir).select("doc_id")
+                emit = emit.join(prior, "doc_id", "left_anti")
+            (emit.withColumn("__batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(self.out_dir))
+            (novel_df.select("doc_id",
+                             F.posexplode("sig").alias("band", "minhash"))
+             .write.mode("append").parquet(self.store_dir))
+        self._store_meta(batch_id)
+
+    def novel_docs(self, spark) -> DataFrame:
+        return spark.read.parquet(self.out_dir)

@@ -233,3 +233,58 @@ def test_streaming_exact_dedup_matches_batch(spark):
         assert spark.read.parquet(out_dir).count() == len(want)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_matches_batch_greedy(spark):
+    """Streaming near-dup dedup over chunked arrival must emit exactly the
+    docs the shared order-greedy novelty rule selects over the concatenated
+    chunks, and a replayed run must not re-emit or grow the store."""
+    from filterz_spark.ops.dedup import minhash_signature_arrays
+    from filterz_spark.streaming.neardup import (StreamingNearDupDedup,
+                                                 greedy_novel)
+
+    base = tempfile.mkdtemp(prefix="fz_sneardup_")
+    try:
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        # chunk0 = odd ids, chunk1 = even ids (file order => batch order)
+        docs.filter("doc_id % 2 = 1").coalesce(1) \
+            .write.parquet(os.path.join(src, "chunk0"))
+        docs.filter("doc_id % 2 = 0").coalesce(1) \
+            .write.parquet(os.path.join(src, "chunk1"))
+
+        dd = StreamingNearDupDedup(os.path.join(base, "state"),
+                                   num_hashes=8, k=2, run_token="t1")
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(src, "chunk*")))
+        q = (stream.writeStream.foreachBatch(dd).trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .start())
+        q.awaitTermination(180)
+
+        got = sorted(r["doc_id"] for r in dd.novel_docs(spark).collect())
+
+        # expected: the same greedy rule applied chunk-by-chunk
+        seen = set()
+        want = []
+        for pred in ("doc_id % 2 = 1", "doc_id % 2 = 0"):
+            sigs = [(r["doc_id"], list(r["sig"])) for r in
+                    minhash_signature_arrays(docs.filter(pred), 8, 2).collect()]
+            want += greedy_novel(sigs, seen)
+        assert got == sorted(want) and 0 < len(got) < docs.count()
+
+        # replayed batch ids (fresh query, same state dir + run token):
+        # high-watermark skips them — no growth anywhere
+        n_store = spark.read.parquet(dd.store_dir).count()
+        q2 = (stream.writeStream.foreachBatch(dd).trigger(availableNow=True)
+              .option("checkpointLocation", os.path.join(base, "ckpt"))
+              .start())
+        q2.awaitTermination(180)
+        assert sorted(r["doc_id"] for r in
+                      dd.novel_docs(spark).collect()) == sorted(want)
+        assert spark.read.parquet(dd.store_dir).count() == n_store
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
