@@ -275,7 +275,8 @@ def simhash_sql(table: str = "documents") -> str:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       max_bucket_size: int | None = 10_000) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole block bucketing.
 
     Recall contract: the simhash is split into ``max_hamming + 1`` equal-ish
@@ -284,6 +285,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidate generation has guaranteed recall 1 for the advertised
     threshold (then an exact hamming check filters). More blocks = more
     bucket joins, so large max_hamming trades cost for recall guarantee.
+
+    Pair generation uses the same single-shuffle group expansion as
+    ``lsh_candidate_pairs``: groupBy the (block, bucket) key, collect the
+    member list (with each member's simhash riding along), expand ordered
+    pairs expression-side. ``max_bucket_size`` bounds the quadratic blow-up
+    of a degenerate bucket (e.g. a boilerplate cluster collapsing one bit
+    block): over-cap buckets are dropped from candidate generation — the
+    recall guarantee then holds for pairs outside such buckets (handle the
+    dropped mass with exact_dedup, which is linear). None disables the cap.
     """
     n_blocks = max_hamming + 1
     block_bits = (SIMHASH_BITS + n_blocks - 1) // n_blocks
@@ -298,14 +308,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for q in range(n_blocks)
         ])).alias("e"),
     ).select("doc_id", "simhash", "e.q", "e.bucket")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(b, [F.col("a.q") == F.col("b.q"), F.col("a.bucket") == F.col("b.bucket"),
-                   F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
-        .distinct()
-    )
+    buckets = (blocks.groupBy("q", "bucket")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash")))
+                    .alias("mem"))
+               .filter(F.size("mem") >= 2))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("mem") <= max_bucket_size)
+    e = buckets.select("mem", F.posexplode("mem").alias("i", "a"))
+    pairs = e.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("ha"),
+        F.explode(F.slice("mem", F.col("i") + 2,
+                          F.size("mem") - F.col("i") - 1)).alias("b"))
+    cand = (pairs.select("doc_a", F.col("b.doc_id").alias("doc_b"),
+                         "ha", F.col("b.simhash").alias("hb"))
+            .distinct())
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")) \
                .filter(F.col("hamming") <= max_hamming)

@@ -55,6 +55,20 @@ class TestDedup:
         near = simhash_near_pairs(docs.limit(50).unionByName(clone), max_hamming=0)
         assert near.filter(F.col("doc_b") == F.col("doc_a") + 1_000_000).count() == 3
 
+    def test_simhash_near_pairs_bucket_cap(self, spark, docs):
+        from filterz_spark.ops.dedup import simhash_near_pairs
+        # cap of 1 drops every >=2-member bucket: no candidates at all
+        clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        both = docs.limit(50).unionByName(clone)
+        assert simhash_near_pairs(both, max_hamming=0,
+                                  max_bucket_size=1).count() == 0
+        # uncapped equals the default-capped result at test scale
+        a = set(map(tuple, simhash_near_pairs(both, 2, None)
+                    .select("doc_a", "doc_b").collect()))
+        b = set(map(tuple, simhash_near_pairs(both, 2, 10_000)
+                    .select("doc_a", "doc_b").collect()))
+        assert a == b
+
 
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):
