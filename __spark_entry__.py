@@ -555,6 +555,20 @@ def _q_normalized_docs(spark, sf_dir):
     return normalize_text(_t(spark, sf_dir, "documents"))
 
 
+def _q_curated_training_set(spark, sf_dir):
+    """The composed curation pipeline (normalize -> exact dedup ->
+    decontaminate -> quality -> mixture) as one plan, against a full
+    composed SQL oracle — every stage is individually oracle-proven, this
+    entry proves the COMPOSITION."""
+    from filterz_spark.ops.pipeline import curate_training_set
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    return curate_training_set(docs, bench,
+                               {"en": 0.7, "zh": 1.0, "fr": 1.0},
+                               k=3, max_contamination=0.2,
+                               min_tokens=5, min_distinct_ratio=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / dedup / text (SQL-oracled)
@@ -573,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "bpe_token_counts": _q_bpe_token_counts,
         "stratified_sample": _q_stratified_sample,
+        "curated_training_set": _q_curated_training_set,
         "normalized_docs": _q_normalized_docs,
         "repetition_scores": _q_repetition_scores,
         "decontaminate": _q_decontaminate,
@@ -925,6 +940,34 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang FROM h WHERE "
             f"(lang = 'en' AND hv < {int(0.5 * (1 << 60))}) "
             f"OR (lang = 'de' AND hv < {int(1.0 * (1 << 60))})"
+        ),
+        "curated_training_set": (
+            "WITH norm AS (SELECT doc_id, lang, "
+            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g')) AS nt FROM documents), "
+            "keep AS (SELECT md5(nt) AS nh, min(doc_id) AS doc_id FROM norm "
+            "GROUP BY md5(nt)), "
+            f"tsh AS (SELECT DISTINCT doc_id, shingle FROM "
+            f"({shingle3_sql('TRUE')})), "
+            f"bsh AS (SELECT DISTINCT shingle FROM "
+            f"({shingle3_sql('doc_id % 50 = 0')})), "
+            "cont AS (SELECT t.doc_id FROM tsh t LEFT JOIN bsh b "
+            "ON t.shingle = b.shingle GROUP BY t.doc_id "
+            "HAVING round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 4) >= 0.2), "
+            "qual AS (SELECT n.doc_id, n.lang, "
+            "len(string_split(n.nt, ' ')) AS n_tokens, "
+            "len(list_distinct(string_split(n.nt, ' '))) "
+            "/ CAST(len(string_split(n.nt, ' ')) AS DOUBLE) AS dr, "
+            "CAST(concat('0x', substring(md5(concat('42', ':', n.doc_id)), 1, 15)) "
+            "AS BIGINT) AS hv "
+            "FROM norm n JOIN keep k ON md5(n.nt) = k.nh AND n.doc_id = k.doc_id "
+            "WHERE n.doc_id NOT IN (SELECT doc_id FROM cont)) "
+            "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens "
+            "FROM qual WHERE n_tokens >= 5 AND n_tokens <= 100000 AND dr >= 0.3 "
+            f"AND ((lang = 'en' AND hv < {int(0.7 * (1 << 60))}) "
+            f"OR (lang = 'zh' AND hv < {1 << 60}) "
+            f"OR (lang = 'fr' AND hv < {1 << 60}))"
         ),
         "normalized_docs": (
             "SELECT doc_id, "

@@ -1,0 +1,74 @@
+"""End-to-end training-set curation — the composed pipeline a pre-training
+corpus actually runs, as ONE declarative Spark plan.
+
+Stages (each individually oracle-proven elsewhere in this repo):
+
+1. normalize   — dedup-grade canonicalization (ops.text.normalize_text)
+2. exact dedup — keep the min doc_id per normalized-content hash
+3. decontaminate — drop docs whose distinct k-gram overlap with the
+   (broadcast) benchmark set reaches ``max_contamination``
+4. quality     — token-count window + distinct-word-ratio floor
+   (the repetition filter's cheap form, computed on the normalized text)
+5. mixture     — deterministic per-stratum sampling (md5-threshold)
+
+Everything is JVM built-ins plus the already-audited sub-operators: the
+whole pipeline is one Catalyst plan per stage boundary, shuffles only where
+the semantics force one (the dedup groupBy and the decontamination
+aggregate), and every row decision is a pure function of (content, seed) —
+reproducible across engines, which is what makes the full-pipeline DuckDB
+oracle possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import ngram_decontaminate
+from .text import normalize_text
+
+
+def curate_training_set(docs: DataFrame, bench: DataFrame,
+                        fractions: dict, k: int = 3,
+                        max_contamination: float = 0.2,
+                        min_tokens: int = 5, max_tokens: int = 100_000,
+                        min_distinct_ratio: float = 0.3,
+                        strata_col: str = "lang",
+                        seed: str = "42") -> DataFrame:
+    """(doc_id, lang, n_tokens) — the curated training set.
+
+    ``fractions``: per-stratum keep probabilities (strata absent from the
+    dict are dropped — the explicit mixture spec, like stratified_sample).
+    """
+    norm = normalize_text(docs).join(docs.select("doc_id", strata_col), "doc_id")
+
+    # exact dedup on normalized content: keep the min doc_id per hash
+    keep = (norm.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))
+    survivors = norm.join(keep, ["norm_hash", "doc_id"], "left_semi")
+
+    # decontamination on the ORIGINAL text (benchmarks are verbatim)
+    contaminated = (ngram_decontaminate(docs, bench, k=k,
+                                        min_contamination=max_contamination)
+                    .select("doc_id"))
+    survivors = survivors.join(contaminated, "doc_id", "left_anti")
+
+    # quality: token window + distinct-ratio floor over normalized words
+    ws = F.split(F.col("norm_text"), " ")
+    survivors = (survivors
+                 .withColumn("n_tokens", F.size(ws).cast("long"))
+                 .withColumn("__dr", F.size(F.array_distinct(ws))
+                             / F.col("n_tokens"))
+                 .filter((F.col("n_tokens") >= min_tokens)
+                         & (F.col("n_tokens") <= max_tokens)
+                         & (F.col("__dr") >= min_distinct_ratio)))
+
+    # mixture: deterministic per-stratum keep (same math as stratified_sample)
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed),
+                                             F.col("doc_id"))), 1, 15),
+               16, 10).cast("long")
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(strata_col) == stratum) & (h < int(frac * (1 << 60)))
+        cond = c if cond is None else cond | c
+    if cond is None:
+        raise ValueError("fractions must name at least one stratum")
+    return survivors.filter(cond).select("doc_id", strata_col, "n_tokens")

@@ -209,6 +209,35 @@ class TestRepetitionAndDecontamination:
         assert "BroadcastHashJoin" in plan
 
 
+class TestCurationPipeline:
+    def test_pipeline_stage_contracts(self, spark, docs):
+        from filterz_spark.ops.pipeline import curate_training_set
+        bench = docs.filter("doc_id % 50 = 0")
+        out = curate_training_set(docs, bench, {"en": 1.0, "de": 1.0},
+                                  max_contamination=0.2).cache()
+        rows = out.collect()
+        ids = {r["doc_id"] for r in rows}
+        # benchmark docs are verbatim-contaminated: never in the output
+        assert not any(i % 50 == 0 for i in ids)
+        # unlisted strata dropped
+        assert {r["lang"] for r in rows} <= {"en", "de"}
+        assert all(r["n_tokens"] >= 5 for r in rows)
+        assert 0 < len(ids) < docs.count()
+        # dedup: one survivor per normalized hash, the min doc_id
+        from filterz_spark.ops.text import normalize_text
+        nh = {r["doc_id"]: r["norm_hash"]
+              for r in normalize_text(docs).collect()}
+        by_hash = {}
+        for i in ids:
+            by_hash.setdefault(nh[i], []).append(i)
+        assert all(len(v) == 1 for v in by_hash.values())
+
+    def test_pipeline_requires_strata(self, spark, docs):
+        from filterz_spark.ops.pipeline import curate_training_set
+        with pytest.raises(ValueError, match="at least one stratum"):
+            curate_training_set(docs, docs.limit(1), {})
+
+
 class TestSamplingAndNormalization:
     def test_stratified_sample_deterministic_and_proportional(self, spark, docs):
         from filterz_spark.ops.relational import stratified_sample
