@@ -136,3 +136,38 @@ def test_minhash_signature_single_doc_aggregate(spark):
     p = plan(minhash_signature_arrays(docs, 8, 2), "simple")
     assert p.count("Exchange") == 1, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_new_pipeline_ops_have_no_python_stage(spark):
+    """Round-3 continuation gate: normalization, repetition scoring,
+    decontamination, sampling, and the composed curation pipeline are all
+    pure JVM plans — no per-row or Arrow-batched Python anywhere."""
+    from filterz_spark.ops.dedup import ngram_decontaminate
+    from filterz_spark.ops.pipeline import curate_training_set
+    from filterz_spark.ops.relational import stratified_sample
+    from filterz_spark.ops.text import normalize_text, repetition_scores
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 50 = 0")
+    frames = [
+        normalize_text(docs),
+        repetition_scores(docs),
+        stratified_sample(docs, "doc_id", {"en": 0.5}),
+        ngram_decontaminate(docs, bench),
+        curate_training_set(docs, bench, {"en": 1.0}),
+    ]
+    for df in frames:
+        p = plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p \
+            and "MapInArrow" not in p and "FlatMapGroupsInPandas" not in p, p
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    """The benchmark shingle set must broadcast (map-only corpus side) both
+    standalone and inside the composed curation pipeline."""
+    from filterz_spark.ops.dedup import ngram_decontaminate
+    from filterz_spark.ops.pipeline import curate_training_set
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 50 = 0")
+    for df in (ngram_decontaminate(docs, bench),
+               curate_training_set(docs, bench, {"en": 1.0})):
+        assert "BroadcastHashJoin" in plan(df, "simple"), plan(df, "simple")
