@@ -167,6 +167,10 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
     timed("decontaminate", lambda: ngram_decontaminate(
         docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0"),
         k=3).count())
+    from filterz_spark.ops.pipeline import curate_training_set
+    timed("curate_docs", lambda: curate_training_set(
+        docs, docs.filter("doc_id % 50 = 0"),
+        {"en": 0.7, "zh": 1.0, "fr": 1.0}).count())
 
     # fold in the two-cluster-size evidence if tools/scaling_bench.py has run
     scaling = None
