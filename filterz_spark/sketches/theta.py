@@ -102,6 +102,14 @@ class ThetaSketch(MergeableSketch):
             return float(only.size)
         return only.size / (theta / _FULL)
 
+    def jaccard_estimate(self, other: "ThetaSketch") -> float:
+        """|A ∩ B| / |A ∪ B| from the set-algebra estimates (exact in the
+        sub-k regime, like the other theta estimates)."""
+        union = self.merge(other).estimate()
+        if union == 0:
+            return 0.0
+        return self.intersect_estimate(other) / union
+
     def std_error(self) -> float:
         """Relative standard error ~ 1/sqrt(k-2) once saturated; 0 exact."""
         if self.theta >= 1 << 64:

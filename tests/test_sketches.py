@@ -311,3 +311,18 @@ class TestTheta:
         df = spark.range(3000).select((F.col("id") % 977).alias("u"))
         s = sketch_column(df, "u", "theta", {"k": 4096})
         assert s.estimate() == 977.0
+
+
+class TestThetaJaccard:
+    def test_jaccard_exact_in_sub_k_regime(self):
+        from filterz_spark.sketches import ThetaSketch
+        a = ThetaSketch.zero(k=4096)
+        b = ThetaSketch.zero(k=4096)
+        ha = splitmix64_array(1, 600)
+        hb = np.concatenate([ha[:200], splitmix64_array(2, 400)])
+        a.update(ha)
+        b.update(hb)
+        # |A|=600, |B|=600, |A∩B|=200, |A∪B|=1000 — all below k: exact
+        assert a.jaccard_estimate(b) == 200 / 1000
+        empty = ThetaSketch.zero(k=4096)
+        assert empty.jaccard_estimate(empty) == 0.0
