@@ -103,6 +103,34 @@ class TDigestSketch(MergeableSketch):
         frac = (target - cum_mid[i]) / (cum_mid[i + 1] - cum_mid[i])
         return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
 
+    def cdf(self, x: float) -> float:
+        """Estimated rank of ``x`` in [0, 1] — the inverse of ``quantile``
+        (same centroid-midpoint interpolation, solved the other way)."""
+        if self.means.size == 0:
+            return float("nan")
+        total = self.weights.sum()
+        if self.means.size == 1:
+            return 0.0 if x < self.means[0] else (1.0 if x > self.means[0] else 0.5)
+        cum_mid = np.cumsum(self.weights) - self.weights / 2.0
+        lo = self.vmin if np.isfinite(self.vmin) else self.means[0]
+        hi = self.vmax if np.isfinite(self.vmax) else self.means[-1]
+        if x <= lo:
+            return 0.0
+        if x >= hi:
+            return 1.0
+        if x <= self.means[0]:
+            span = self.means[0] - lo
+            frac = (x - lo) / span if span > 0 else 1.0
+            return float(frac * cum_mid[0] / total)
+        if x >= self.means[-1]:
+            span = hi - self.means[-1]
+            frac = (x - self.means[-1]) / span if span > 0 else 0.0
+            return float((cum_mid[-1] + frac * (total - cum_mid[-1])) / total)
+        i = int(np.searchsorted(self.means, x) - 1)
+        span = self.means[i + 1] - self.means[i]
+        frac = (x - self.means[i]) / span if span > 0 else 0.0
+        return float((cum_mid[i] + frac * (cum_mid[i + 1] - cum_mid[i])) / total)
+
     def total_weight(self) -> float:
         return float(self.weights.sum())
 

@@ -326,3 +326,37 @@ class TestThetaJaccard:
         assert a.jaccard_estimate(b) == 200 / 1000
         empty = ThetaSketch.zero(k=4096)
         assert empty.jaccard_estimate(empty) == 0.0
+
+
+class TestCdfRank:
+    def test_tdigest_cdf_inverse_of_quantile(self):
+        from filterz_spark.sketches import TDigestSketch
+        rng = np.random.default_rng(5)
+        data = rng.lognormal(0, 1.2, 150_000)
+        s = TDigestSketch.zero(delta=200)
+        for chunk in np.array_split(data, 9):
+            s.update(chunk)
+        ds = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            x = np.quantile(data, q)
+            est = s.cdf(float(x))
+            true_rank = np.searchsorted(ds, x) / ds.size
+            assert abs(est - true_rank) < 0.01, (q, est, true_rank)
+        assert s.cdf(float(ds[0]) - 1) == 0.0
+        assert s.cdf(float(ds[-1]) + 1) == 1.0
+        # cdf(quantile(q)) ~ q (round-trip consistency of the two paths)
+        for q in (0.1, 0.5, 0.9):
+            assert abs(s.cdf(s.quantile(q)) - q) < 0.01, q
+
+    def test_kll_rank_bound(self):
+        from filterz_spark.sketches import KllSketch
+        rng = np.random.default_rng(6)
+        data = rng.uniform(0, 100, 150_000)
+        s = KllSketch.zero(k=200)
+        for chunk in np.array_split(data, 7):
+            s.update(chunk)
+        ds = np.sort(data)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            x = float(np.quantile(data, q))
+            true_rank = np.searchsorted(ds, x) / ds.size
+            assert abs(s.rank(x) - true_rank) < 0.02, q
