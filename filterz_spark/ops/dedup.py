@@ -99,14 +99,13 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     exact_dedup, which is linear). None disables the cap.
 
     ``materialize_signatures`` (default True) localCheckpoints the compact
-    array-form signature table (one row per doc) before the self-join:
-    Catalyst does not share the subtree between the join sides, so the lazy
-    form runs the shingle+md5 pipeline twice. The materialized table is tiny
-    relative to the corpus (num_hashes hex strings per doc) — at corpus
-    scale it is persisted storage anyway. Pass ``materialize_signatures=
-    False`` only when a localCheckpoint is unaffordable (no storage), or
-    supply your own (materialized) ``signatures`` array table to share it
-    across the candidate -> Jaccard -> components pipeline.
+    array-form signature table (one row per doc) before the self-join —
+    but ONLY under ``pair_strategy="join"``: Catalyst does not share the
+    subtree between the join sides, so the lazy join form runs the
+    shingle+md5 pipeline twice; the group plan scans it exactly once and
+    skips the checkpoint (materializing there is pure cost). To share one
+    signature pass across the candidate -> Jaccard -> components pipeline,
+    supply your own (materialized) ``signatures`` array table.
 
     ``pair_strategy`` picks the within-bucket pair-generation plan; both
     produce identical results and shuffle the SAME (band, minhash) key, so
@@ -125,7 +124,9 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     sig_arr = signatures if signatures is not None \
         else minhash_signature_arrays(docs, num_hashes, k)
-    if materialize_signatures and signatures is None:
+    if materialize_signatures and signatures is None and pair_strategy == "join":
+        # only the self-join duplicates the signature subtree; the group
+        # plan scans it exactly once, so materializing there is pure cost
         sig_arr = sig_arr.localCheckpoint(eager=True)
     sig = minhash_signatures(docs, num_hashes, k, signatures=sig_arr)
 
@@ -276,7 +277,7 @@ def simhash_sql(table: str = "documents") -> str:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       max_bucket_size: int | None = 10_000) -> DataFrame:
+                       max_bucket_size: int | None = None) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole block bucketing.
 
     Recall contract: the simhash is split into ``max_hamming + 1`` equal-ish
@@ -289,11 +290,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     Pair generation uses the same single-shuffle group expansion as
     ``lsh_candidate_pairs``: groupBy the (block, bucket) key, collect the
     member list (with each member's simhash riding along), expand ordered
-    pairs expression-side. ``max_bucket_size`` bounds the quadratic blow-up
-    of a degenerate bucket (e.g. a boilerplate cluster collapsing one bit
-    block): over-cap buckets are dropped from candidate generation — the
-    recall guarantee then holds for pairs outside such buckets (handle the
-    dropped mass with exact_dedup, which is linear). None disables the cap.
+    pairs expression-side. ``max_bucket_size`` (OPT-IN, default None =
+    uncapped so the recall guarantee above is unconditional) bounds the
+    quadratic blow-up of a degenerate bucket (e.g. a boilerplate cluster
+    collapsing one bit block): over-cap buckets are dropped from candidate
+    generation — the recall guarantee then holds only for pairs outside
+    such buckets (handle the dropped mass with exact_dedup, linear).
     """
     n_blocks = max_hamming + 1
     block_bits = (SIMHASH_BITS + n_blocks - 1) // n_blocks

@@ -91,7 +91,7 @@ RESIZE_SRC = 16  # fake-decoder source grid side (first SRC*SRC payload bytes)
 
 
 def _resize_fn(out_h: int, out_w: int, fake: bool):
-    if RESIZE_SRC % out_h or RESIZE_SRC % out_w:
+    if out_h <= 0 or out_w <= 0 or RESIZE_SRC % out_h or RESIZE_SRC % out_w:
         raise ValueError(f"out dims must divide {RESIZE_SRC}")
     bh, bw = RESIZE_SRC // out_h, RESIZE_SRC // out_w
 

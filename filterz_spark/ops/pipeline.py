@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import ngram_decontaminate
+from .relational import stratified_sample
 from .text import normalize_text
 
 
@@ -39,7 +40,7 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
     ``fractions``: per-stratum keep probabilities (strata absent from the
     dict are dropped — the explicit mixture spec, like stratified_sample).
     """
-    norm = normalize_text(docs).join(docs.select("doc_id", strata_col), "doc_id")
+    norm = normalize_text(docs, keep_cols=(strata_col,))
 
     # exact dedup on normalized content: keep the min doc_id per hash
     keep = (norm.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))
@@ -61,14 +62,6 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
                          & (F.col("n_tokens") <= max_tokens)
                          & (F.col("__dr") >= min_distinct_ratio)))
 
-    # mixture: deterministic per-stratum keep (same math as stratified_sample)
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed),
-                                             F.col("doc_id"))), 1, 15),
-               16, 10).cast("long")
-    cond = None
-    for stratum, frac in fractions.items():
-        c = (F.col(strata_col) == stratum) & (h < int(frac * (1 << 60)))
-        cond = c if cond is None else cond | c
-    if cond is None:
-        raise ValueError("fractions must name at least one stratum")
-    return survivors.filter(cond).select("doc_id", strata_col, "n_tokens")
+    # mixture: the standalone sampling operator, verbatim
+    return stratified_sample(survivors, "doc_id", fractions, strata_col,
+                             seed).select("doc_id", strata_col, "n_tokens")

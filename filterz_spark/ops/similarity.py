@@ -363,14 +363,26 @@ def pq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
     regime; real deployments run rerank ~ 10-100x k. Pass ``codes`` (from
     ``pq_encode``, persisted) to serve query workloads without re-encoding.
     """
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+    scored = _adc_scores(codes, codebooks, query_vec, id_col)
+    cand = scored.orderBy(F.desc("adc"), F.col(id_col)).limit(rerank).select(id_col)
+    subset = embeddings.join(F.broadcast(cand), id_col)
+    return cosine_topk(subset, query_vec, k, vec_col, id_col)
+
+
+def _adc_scores(codes: DataFrame, codebooks: np.ndarray,
+                query_vec: Sequence[float], id_col: str) -> DataFrame:
+    """(id, adc): approximate-cosine scores for a PQ code table from
+    per-subspace query LUTs — the shared ADC kernel of pq_ann_topk and
+    ivfpq_ann_topk. Columns are selected by NAME before the Arrow pass, so
+    any column order / extra columns in a persisted code table are safe."""
     m, k_sub, dsub = codebooks.shape
     q = np.asarray(query_vec, dtype=np.float64)
     lut_dot = np.stack([codebooks[j] @ q[j * dsub:(j + 1) * dsub]
                         for j in range(m)])                    # (m, k_sub)
     lut_n2 = (codebooks * codebooks).sum(axis=2)               # (m, k_sub)
     ld, ln = lut_dot.tolist(), lut_n2.tolist()
-    if codes is None:
-        codes = pq_encode(embeddings, codebooks, vec_col, id_col)
 
     def score_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         d = np.asarray(ld)
@@ -389,10 +401,8 @@ def pq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(score, pa.float64())], names=[id_col, "adc"])
 
-    scored = codes.mapInArrow(score_fn, f"{id_col} long, adc double")
-    cand = scored.orderBy(F.desc("adc"), F.col(id_col)).limit(rerank).select(id_col)
-    subset = embeddings.join(F.broadcast(cand), id_col)
-    return cosine_topk(subset, query_vec, k, vec_col, id_col)
+    return codes.select(id_col, "codes").mapInArrow(
+        score_fn, f"{id_col} long, adc double")
 
 
 def ivfpq_index(embeddings: DataFrame, centroids: np.ndarray,
@@ -435,31 +445,7 @@ def ivfpq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
     if index is None:
         index = ivfpq_index(embeddings, centroids, codebooks, vec_col, id_col)
     lists = index.filter(F.col("cluster").isin(probe_clusters))
-
-    m, k_sub, dsub = codebooks.shape
-    lut_dot = np.stack([codebooks[j] @ q[j * dsub:(j + 1) * dsub]
-                        for j in range(m)])
-    lut_n2 = (codebooks * codebooks).sum(axis=2)
-    ld, ln = lut_dot.tolist(), lut_n2.tolist()
-
-    def score_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        d = np.asarray(ld)
-        n2 = np.asarray(ln)
-        cols = np.arange(m)
-        for batch in batches:
-            ids = batch.column(0)
-            codes_arr = batch.column(1)
-            if len(codes_arr) == 0:
-                continue
-            cm = (codes_arr.flatten().to_numpy(zero_copy_only=False)
-                  .astype(np.int64).reshape(len(codes_arr), m))
-            score = (d[cols, cm].sum(axis=1)
-                     / np.maximum(np.sqrt(n2[cols, cm].sum(axis=1)), 1e-12))
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(score, pa.float64())], names=[id_col, "adc"])
-
-    scored = lists.select(id_col, "codes").mapInArrow(
-        score_fn, f"{id_col} long, adc double")
+    scored = _adc_scores(lists, codebooks, query_vec, id_col)
     cand = scored.orderBy(F.desc("adc"), F.col(id_col)).limit(rerank).select(id_col)
     subset = embeddings.join(F.broadcast(cand), id_col)
     return cosine_topk(subset, query_vec, k, vec_col, id_col)

@@ -23,10 +23,13 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it"]
 
 
-def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   keep_cols: tuple = ()) -> DataFrame:
     """Canonicalization pass before exact/near dedup:
-    (doc_id, norm_text, norm_hash) — lowercase, strip non-alphanumerics,
-    collapse whitespace, plus the md5 of the result (the exact-dedup key).
+    (doc_id, [keep_cols...,] norm_text, norm_hash) — lowercase, strip
+    non-alphanumerics, collapse whitespace, plus the md5 of the result
+    (the exact-dedup key). ``keep_cols`` ride along in the same projection
+    — no separate join back to the corpus for metadata columns.
 
     Pure per-row JVM expressions (lower/regexp_replace/trim/md5) — map-only,
     pushes past the scan, identical semantics in ANSI engines (DuckDB twin
@@ -35,7 +38,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.lower(F.col(text_col))
     t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
     t = F.trim(F.regexp_replace(t, " +", " "))
-    return docs.select("doc_id", t.alias("norm_text"),
+    return docs.select("doc_id", *keep_cols, t.alias("norm_text"),
                        F.md5(t).alias("norm_hash"))
 
 

@@ -199,14 +199,9 @@ class TestRepetitionAndDecontamination:
               ngram_decontaminate(train, bench, broadcast_bench=False).collect()}
         assert c2 == {1: 1.0, 2: 0.0}
 
-    def test_decontaminate_is_broadcast_map_only(self, spark, docs):
-        """The benchmark side must be a broadcast join — no shuffle of the
-        corpus for the membership check (the 100-TB posture)."""
-        from filterz_spark.ops.dedup import ngram_decontaminate
-        plan = ngram_decontaminate(
-            docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0")
-        )._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+    # (broadcast-plan gate lives in test_plans.py::
+    # test_decontaminate_benchmark_is_broadcast, which also covers the
+    # composed pipeline)
 
 
 class TestCurationPipeline:
@@ -346,6 +341,21 @@ class TestPq:
                 ivfpq_ann_topk(emb, q, centroids, cb, 10, n_probe=8,
                                rerank=n, index=idx).collect()]
         assert full == brute
+
+    def test_pq_codes_table_layout_independent(self, spark, emb):
+        """A persisted codes table with reordered or extra columns must
+        score identically (columns are selected by name, not position)."""
+        from filterz_spark.ops.similarity import (cosine_topk, pq_ann_topk,
+                                                  pq_encode, pq_train)
+        cb = pq_train(emb, m=4, k_sub=16, iters=2)
+        q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+        messy = pq_encode(emb, cb).select(
+            F.lit(0).alias("junk"), "codes", "vec_id")
+        got = [r["vec_id"] for r in
+               pq_ann_topk(emb, q, cb, 10, rerank=emb.count(),
+                           codes=messy).collect()]
+        want = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+        assert got == want
 
     def test_pq_rejects_non_divisor_m(self, spark, emb):
         from filterz_spark.ops.similarity import pq_train

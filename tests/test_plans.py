@@ -97,22 +97,23 @@ def test_lsh_candidate_pairs_single_signature_pass(spark):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_scans = lambda p: p.count("documents.parquet")  # noqa: E731
-    # default: array-form signatures are materialized (localCheckpoint), so
-    # BOTH self-join sides read the checkpointed table — zero re-scans of
-    # the corpus, one signature pass total
+    # default (group strategy): no self-join exists, so the corpus is read
+    # exactly ONCE with no materialization needed — the checkpoint is
+    # skipped as pure cost — and the bucket cap (a size() filter on the
+    # aggregated row) must not add scans
     capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000))
     uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None))
-    assert n_scans(capped) == 0, (n_scans(capped), capped[:500])
-    assert n_scans(uncapped) == 0, uncapped
-    # lazy opt-out, group strategy (default): no self-join exists, so even
-    # the un-materialized plan reads the corpus exactly ONCE — and the
-    # bucket cap (a size() filter on the aggregated row) must not add scans
-    lazy_capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000,
-                                           materialize_signatures=False))
-    lazy_uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None,
-                                             materialize_signatures=False))
-    assert n_scans(lazy_uncapped) == 1, lazy_uncapped
-    assert n_scans(lazy_capped) == 1, (n_scans(lazy_capped), lazy_capped[:500])
+    assert n_scans(capped) == 1, (n_scans(capped), capped[:500])
+    assert n_scans(uncapped) == 1, uncapped
+    # join strategy, materialized (default materialize_signatures=True):
+    # BOTH self-join sides read the checkpointed signature table — zero
+    # re-scans of the corpus, one signature pass total
+    jm_capped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=10_000,
+                                         pair_strategy="join"))
+    jm_uncapped = plan(lsh_candidate_pairs(docs, 8, 2, max_bucket_size=None,
+                                           pair_strategy="join"))
+    assert n_scans(jm_capped) == 0, (n_scans(jm_capped), jm_capped[:500])
+    assert n_scans(jm_uncapped) == 0, jm_uncapped
     # lazy opt-out, join strategy: the self-join re-executes the signature
     # subtree per side (2 scans); the cap's WINDOW count — keyed on the
     # join's own (band, minhash) — must not add more (an aggregate+join
