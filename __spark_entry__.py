@@ -488,6 +488,39 @@ def _q_ivfpq_ann_topk(spark, sf_dir):
                           rerank=emb.count(), index=idx)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Point-in-time lookup: each click annotated with the user's latest
+    view at or before it — the union+window as-of plan (no join, one
+    shuffle), against DuckDB's window twin."""
+    from filterz_spark.ops.relational import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'") \
+              .select("user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, views, "user_id", "ts",
+                    value_cols=("event_id", "value"))
+    return out.select("event_id", "user_id", "event_id_asof",
+                      F.round("value_asof", 4).alias("value_asof"))
+
+
+def _q_range_join(spark, sf_dir):
+    """Interval join via bucketed equi-join (no theta/nested-loop): clicks
+    landing inside [error_ts, error_ts + 30 min) incident windows of the
+    same user."""
+    from filterz_spark.ops.relational import range_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    incidents = (ev.filter("event_type = 'error'")
+                 .select("user_id", F.col("event_id").alias("incident_id"),
+                         F.col("ts").alias("start_ts"),
+                         (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                         .alias("end_ts")))
+    out = range_join(clicks, incidents, "ts", "start_ts", "end_ts",
+                     keys=("user_id",), bucket_seconds=1800)
+    return out.select(F.col("event_id").alias("click_id"), "user_id",
+                      "incident_id")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -599,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "prefiltered_join": _q_prefiltered_join,
         "user_sessions": _q_user_sessions,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
         "dedup_clusters": _q_dedup_clusters,
@@ -933,6 +968,31 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "asof_join": (
+            "WITH u AS ("
+            "SELECT event_id, user_id, ts, 1 AS side, "
+            "CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val "
+            "FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT CAST(NULL AS BIGINT), user_id, ts, 0, event_id, value "
+            "FROM events WHERE event_type = 'view') "
+            "SELECT event_id, user_id, event_id_asof, "
+            "round(value_asof, 4) AS value_asof FROM ("
+            "SELECT event_id, user_id, side, "
+            "last_value(r_eid IGNORE NULLS) OVER w AS event_id_asof, "
+            "last_value(r_val IGNORE NULLS) OVER w AS value_asof "
+            "FROM u WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, side, r_eid NULLS FIRST "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ") WHERE side = 1"
+        ),
+        "range_join": (
+            "SELECT l.event_id AS click_id, l.user_id, "
+            "r.event_id AS incident_id "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND l.event_type = 'click' AND r.event_type = 'error' "
+            "AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 30 MINUTE"
+        ),
         "stratified_sample": (
             "WITH h AS (SELECT doc_id, lang, CAST(concat('0x', "
             "substring(md5(concat('42', ':', doc_id)), 1, 15)) AS BIGINT) AS hv "

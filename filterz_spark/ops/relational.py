@@ -111,6 +111,85 @@ def hash_split(df: DataFrame, key_col: str, train_fraction: float = 0.8,
         split_col, F.when(h < thresh, F.lit("train")).otherwise(F.lit("holdout")))
 
 
+def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
+              value_cols: tuple, suffix: str = "_asof") -> DataFrame:
+    """As-of join: each left row annotated with the LATEST right row at or
+    before its timestamp for the same key — the time-series point-in-time
+    lookup Spark lacks natively.
+
+    Spark-first plan: NO join at all. Both sides union into one stream
+    tagged by side, one window partitioned by key and ordered by
+    (ts, side, right-row order) carries the last-seen right values forward
+    (``last(..., ignorenulls=True)``), and left rows are filtered back out
+    annotated. ONE shuffle (the window partition) regardless of side
+    sizes — no range/theta join, no per-key skew beyond the key's own row
+    count. Ties: a right row AT the left row's timestamp wins (sorts
+    first), and among equal-timestamp right rows the highest-ordered one
+    (input order column appended to the sort) wins deterministically.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols, F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
+          for v in value_cols])
+    r_tagged = right.select(
+        *[F.col(key_col) if c == key_col
+          else (F.col(ts_col) if c == ts_col else F.lit(None).cast(left.schema[c].dataType))
+          .alias(c) for c in lcols],
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols])
+    union = l_tagged.unionByName(r_tagged)
+    # total order: ts, then side (right rows before left at equal ts), then
+    # the first value column nulls-first — pass a UNIQUE right column (e.g.
+    # its id) first in value_cols to make equal-timestamp ties deterministic
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(),
+                  F.col(f"__r_{value_cols[0]}").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = union.select(
+        *lcols, "__side",
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w)
+          .alias(f"{v}{suffix}") for v in value_cols])
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(left: DataFrame, right: DataFrame, left_ts: str,
+               start_col: str, end_col: str, keys: tuple = (),
+               bucket_seconds: int = 1800) -> DataFrame:
+    """Interval (range) join: left rows with ``start <= ts < end`` against
+    right intervals, optionally key-equijoined too.
+
+    The scale plan: instead of the inequality-only theta join (which Spark
+    executes as a broadcast nested loop — O(n·m)), each interval EXPLODES
+    into the fixed-width time buckets it covers and each left row carries
+    its single bucket; the join becomes an EQUI-join on (keys..., bucket)
+    with the exact range predicate as a post-filter. A (left, interval)
+    pair can meet in at most one bucket (the left row has exactly one), so
+    no dedup pass is needed. ``bucket_seconds`` trades replication factor
+    (interval_len / bucket) against bucket selectivity — set it near the
+    typical interval length.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
+    rb_start = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    rb_end = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
+    # alias both sides: left/right frequently derive from the SAME source
+    # (e.g. two filters of one events table), where bare l[k] == r[k]
+    # predicates resolve ambiguously over the shared lineage
+    l = left.withColumn("__b", lb.cast("long")).alias("__rj_l")
+    r = right.withColumn("__b", F.explode(F.sequence(rb_start.cast("long"),
+                                                     rb_end.cast("long")))) \
+             .alias("__rj_r")
+    cond = [F.col("__rj_l.__b") == F.col("__rj_r.__b")] + \
+           [F.col(f"__rj_l.{k}") == F.col(f"__rj_r.{k}") for k in keys]
+    joined = l.join(r, cond)
+    out_cols = ([F.col(f"__rj_l.{c}") for c in left.columns]
+                + [F.col(f"__rj_r.{c}") for c in right.columns
+                   if c not in left.columns])
+    return (joined.filter((F.col(f"__rj_l.{left_ts}") >= F.col(f"__rj_r.{start_col}"))
+                          & (F.col(f"__rj_l.{left_ts}") < F.col(f"__rj_r.{end_col}")))
+            .select(*out_cols))
+
+
 def stratified_sample(df: DataFrame, key_col: str, fractions: dict,
                       strata_col: str = "lang", seed: str = "42") -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff the 60-bit md5 of

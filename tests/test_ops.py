@@ -204,6 +204,74 @@ class TestRepetitionAndDecontamination:
     # composed pipeline)
 
 
+class TestTemporalJoins:
+    def test_asof_join_semantics(self, spark):
+        from filterz_spark.ops.relational import asof_join
+        import datetime as dt
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, 10, t(5)), (2, 10, t(20)), (3, 20, t(5)), (4, 30, t(9))],
+            ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [(10, t(3), 100, 1.0), (10, t(5), 101, 2.0), (10, t(7), 102, 3.0),
+             (20, t(6), 200, 9.0)],
+            ["user_id", "ts", "event_id", "value"])
+        out = {r["event_id"]: (r["event_id_asof"], r["value_asof"]) for r in
+               asof_join(left, right, "user_id", "ts",
+                         ("event_id", "value")).collect()}
+        assert out[1] == (101, 2.0)   # right row AT the left ts wins
+        assert out[2] == (102, 3.0)   # latest before
+        assert out[3] == (None, None)  # right rows only in the future
+        assert out[4] == (None, None)  # user with no right rows at all
+
+    def test_asof_equal_ts_tie_deterministic(self, spark):
+        from filterz_spark.ops.relational import asof_join
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, 5, t0)], ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [(5, t0, 7, 1.0), (5, t0, 9, 2.0), (5, t0, 8, 3.0)],
+            ["user_id", "ts", "event_id", "value"])
+        for _ in range(3):
+            row = asof_join(left, right.repartition(3), "user_id", "ts",
+                            ("event_id", "value")).collect()[0]
+            # highest unique id wins (last in the nulls-first ascending order)
+            assert (row["event_id_asof"], row["value_asof"]) == (9, 2.0)
+
+    def test_range_join_keys_and_bounds(self, spark):
+        from filterz_spark.ops.relational import range_join
+        import datetime as dt
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        clicks = spark.createDataFrame(
+            [(1, 10, t(5)), (2, 10, t(31)), (3, 20, t(5)), (4, 10, t(0))],
+            ["event_id", "user_id", "ts"])
+        inc = spark.createDataFrame(
+            [(10, 99, t(0), t(30))],
+            ["user_id", "incident_id", "start_ts", "end_ts"])
+        got = {(r["event_id"], r["incident_id"]) for r in
+               range_join(clicks, inc, "ts", "start_ts", "end_ts",
+                          keys=("user_id",), bucket_seconds=600).collect()}
+        # in-range same-user only: start inclusive, end exclusive, and the
+        # same-time click of ANOTHER user (id 3) must NOT match — the case
+        # a trivially-true key predicate would get wrong
+        assert got == {(1, 99), (4, 99)}
+
+    def test_range_join_no_nested_loop(self, spark):
+        """The bucketed plan must be a real equi-join, not a broadcast
+        nested loop / cartesian product."""
+        from filterz_spark.ops.relational import range_join
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+        inc = (ev.filter("event_type = 'error'")
+               .select("user_id", F.col("event_id").alias("incident_id"),
+                       F.col("ts").alias("start_ts"),
+                       (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts")))
+        p = range_join(clicks, inc, "ts", "start_ts", "end_ts",
+                       keys=("user_id",))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+
+
 class TestCurationPipeline:
     def test_pipeline_stage_contracts(self, spark, docs):
         from filterz_spark.ops.pipeline import curate_training_set
