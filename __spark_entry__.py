@@ -521,6 +521,20 @@ def _q_range_join(spark, sf_dir):
                       "incident_id")
 
 
+def _q_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution continuous aggregate — coarser levels re-aggregated
+    from finer ones (exact for count/sum monoids), values rounded for the
+    float-sum twin."""
+    from filterz_spark.ops.relational import hypertable_rollup
+    ev = _t(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, "ts", "value", ("hour", "day"))
+    return out.select("resolution",
+                      F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("bucket_start"),
+                      F.col("cnt").cast("long").alias("cnt"),
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -633,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefiltered_join": _q_prefiltered_join,
         "user_sessions": _q_user_sessions,
         "asof_join": _q_asof_join,
+        "hypertable_rollup": _q_hypertable_rollup,
         "range_join": _q_range_join,
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
@@ -968,6 +983,18 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "hypertable_rollup": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS bucket_start, "
+            "count(*) AS cnt, sum(value) AS sum_value FROM events GROUP BY 1), "
+            "d AS (SELECT date_trunc('day', bucket_start) AS bucket_start, "
+            "CAST(sum(cnt) AS BIGINT) AS cnt, sum(sum_value) AS sum_value "
+            "FROM h GROUP BY 1) "
+            "SELECT 'hour' AS resolution, strftime(bucket_start, "
+            "'%Y-%m-%d %H:%M:%S') AS bucket_start, CAST(cnt AS BIGINT) AS cnt, "
+            "round(sum_value, 2) AS sum_value FROM h "
+            "UNION ALL SELECT 'day', strftime(bucket_start, "
+            "'%Y-%m-%d %H:%M:%S'), cnt, round(sum_value, 2) FROM d"
+        ),
         "asof_join": (
             "WITH u AS ("
             "SELECT event_id, user_id, ts, 1 AS side, "

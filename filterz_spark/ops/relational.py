@@ -190,6 +190,39 @@ def range_join(left: DataFrame, right: DataFrame, left_ts: str,
             .select(*out_cols))
 
 
+def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value",
+                      resolutions: tuple = ("hour", "day")) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable rollup
+    pattern): (resolution, bucket_start, cnt, sum_value) for each level,
+    with every COARSER level computed from the next FINER level's
+    aggregates, not from the raw events.
+
+    That hierarchy is the scale property: raw rows are scanned once for
+    the finest resolution; each coarser rollup aggregates the (tiny)
+    previous level — at 10^12 events and minute/hour/day levels, the hour
+    and day aggregates shuffle thousands of rows, not the corpus. Sums are
+    exact under re-aggregation (count/sum form a monoid); extend with the
+    sketch layer for distinct/quantile rollups.
+
+    ``resolutions``: finest first, each a ``date_trunc`` unit.
+    """
+    if not resolutions:
+        raise ValueError("need at least one resolution")
+    finest = resolutions[0]
+    level = (events.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"))
+             .agg(F.count("*").alias("cnt"),
+                  F.sum(F.col(value_col).cast("double")).alias("sum_value")))
+    out = level.select(F.lit(finest).alias("resolution"), "*")
+    for res in resolutions[1:]:
+        level = (level.groupBy(F.date_trunc(res, F.col("bucket_start"))
+                       .alias("bucket_start"))
+                 .agg(F.sum("cnt").alias("cnt"),
+                      F.sum("sum_value").alias("sum_value")))
+        out = out.unionByName(level.select(F.lit(res).alias("resolution"), "*"))
+    return out
+
+
 def stratified_sample(df: DataFrame, key_col: str, fractions: dict,
                       strata_col: str = "lang", seed: str = "42") -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff the 60-bit md5 of

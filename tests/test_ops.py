@@ -644,3 +644,26 @@ class TestScaleHardening:
         labels = dedup_components(pairs.unionByName(hub), ids, max_iters=30)
         # every chain hangs off the hub through node 0 -> one component
         assert labels.filter(F.col("cluster_id") != 0).count() == 0
+
+
+class TestHypertableRollup:
+    def test_coarse_levels_rebuild_from_fine(self, spark):
+        from filterz_spark.ops.relational import hypertable_rollup
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        out = hypertable_rollup(ev, "ts", "value", ("hour", "day")).cache()
+        day = {r["bucket_start"]: (r["cnt"], round(r["sum_value"], 2))
+               for r in out.filter("resolution = 'day'").collect()}
+        want = {r["d"]: (r["cnt"], round(r["sv"], 2)) for r in
+                ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+                .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+                .collect()}
+        assert day == want
+        # total row conservation per level
+        hours = out.filter("resolution = 'hour'")
+        assert hours.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+    def test_rejects_empty_resolutions(self, spark):
+        from filterz_spark.ops.relational import hypertable_rollup
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        with pytest.raises(ValueError, match="at least one resolution"):
+            hypertable_rollup(ev, resolutions=())
