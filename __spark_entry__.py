@@ -535,6 +535,24 @@ def _q_hypertable_rollup(spark, sf_dir):
                       F.round("sum_value", 2).alias("sum_value"))
 
 
+def _q_source_quota(spark, sf_dir):
+    """Per-source quota cap (the per-domain crawl cap): deterministic
+    hash-ordered keep of at most 10 docs per source."""
+    from filterz_spark.ops.relational import per_key_quota
+    docs = _t(spark, sf_dir, "documents")
+    return per_key_quota(docs, "source", "doc_id", 10) \
+        .select("doc_id", "source")
+
+
+def _q_event_props(spark, sf_dir):
+    """Semi-structured extraction: pull the numeric 'k' property out of
+    the JSON props column — JVM get_json_object vs DuckDB's JSON reader."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -648,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "asof_join": _q_asof_join,
         "hypertable_rollup": _q_hypertable_rollup,
+        "source_quota": _q_source_quota,
+        "event_props": _q_event_props,
         "range_join": _q_range_join,
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
@@ -983,6 +1003,16 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "source_quota": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(concat('42', ':', doc_id)), doc_id"
+            ") AS rn FROM documents) WHERE rn <= 10"
+        ),
+        "event_props": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) "
+            "AS prop_k FROM events"
+        ),
         "hypertable_rollup": (
             "WITH h AS (SELECT date_trunc('hour', ts) AS bucket_start, "
             "count(*) AS cnt, sum(value) AS sum_value FROM events GROUP BY 1), "

@@ -190,6 +190,27 @@ def range_join(left: DataFrame, right: DataFrame, left_ts: str,
             .select(*out_cols))
 
 
+def per_key_quota(df: DataFrame, group_col: str, id_col: str,
+                  max_per_group: int, seed: str = "42") -> DataFrame:
+    """Per-group quota cap: keep at most ``max_per_group`` rows per group,
+    chosen DETERMINISTICALLY by md5(seed:id) order (id tiebreak) — the
+    per-domain/per-host cap a web corpus applies so no single site
+    dominates the training mixture.
+
+    Hash order (not input order) makes the kept set a pure function of
+    (seed, ids), reproducible across engines and partitionings, and
+    unbiased w.r.t. crawl order. One shuffle (the window partition); a
+    hot group costs only its own row count — the cap throws away the
+    excess immediately after ranking.
+    """
+    if max_per_group <= 0:
+        raise ValueError("max_per_group must be positive")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_per_group).drop("__rn"))
+
+
 def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
                       value_col: str = "value",
                       resolutions: tuple = ("hour", "day")) -> DataFrame:

@@ -667,3 +667,21 @@ class TestHypertableRollup:
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         with pytest.raises(ValueError, match="at least one resolution"):
             hypertable_rollup(ev, resolutions=())
+
+
+class TestQuotaAndProps:
+    def test_per_key_quota_cap_and_determinism(self, spark, docs):
+        from filterz_spark.ops.relational import per_key_quota
+        capped = per_key_quota(docs, "source", "doc_id", 7)
+        sizes = {r["source"]: r["n"] for r in
+                 capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert all(n <= 7 for n in sizes.values()) and max(sizes.values()) == 7
+        a = {r["doc_id"] for r in capped.collect()}
+        b = {r["doc_id"] for r in
+             per_key_quota(docs.repartition(9), "source", "doc_id", 7).collect()}
+        assert a == b, "kept set must be partition-independent"
+        c = {r["doc_id"] for r in
+             per_key_quota(docs, "source", "doc_id", 7, seed="9").collect()}
+        assert a != c, "seed must change the kept set"
+        with pytest.raises(ValueError, match="positive"):
+            per_key_quota(docs, "source", "doc_id", 0)
