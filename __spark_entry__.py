@@ -553,6 +553,33 @@ def _q_event_props(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"))
 
 
+def _q_type_overlap_matrix(spark, sf_dir):
+    """Pairwise distinct-user overlap across ALL event types (the
+    dataset-overlap matrix): ONE grouped scan builds a theta sketch per
+    type; the full pairwise intersect/union/jaccard matrix is computed on
+    the KB-sized states — never re-scanning the corpus per pair. Exact
+    regime (k >> distinct users) == the SQL set operations."""
+    import json as _json
+    from filterz_spark.sketches import deserialize_sketch
+    from filterz_spark.spark.merge import grouped_sketch_states
+    ev = _t(spark, sf_dir, "events")
+    states = grouped_sketch_states(ev, "event_type", "user_id", "theta",
+                                   {"k": 262144})
+    sk = {r["g"]: deserialize_sketch("theta", bytes(r["payload"]),
+                                     _json.loads(r["params"]))
+          for r in states.collect()}
+    rows = []
+    for a in sorted(sk):
+        for b in sorted(sk):
+            if a < b:
+                i = int(round(sk[a].intersect_estimate(sk[b])))
+                u = int(round(sk[a].merge(sk[b]).estimate()))
+                rows.append((a, b, i, u, round(i / u, 6) if u else 0.0))
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, intersect_users long, "
+              "union_users long, jaccard double")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing invariants, SQL-checkable: one feature row per
     media item, 16-dim, histogram normalized to sum 1 (0 for an empty
@@ -668,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "source_quota": _q_source_quota,
         "event_props": _q_event_props,
+        "type_overlap_matrix": _q_type_overlap_matrix,
         "range_join": _q_range_join,
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
@@ -1003,6 +1031,20 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "type_overlap_matrix": (
+            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1), "
+            "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+            "count(*) AS iu FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT ca.event_type AS type_a, cb.event_type AS type_b, "
+            "CAST(coalesce(p.iu, 0) AS BIGINT) AS intersect_users, "
+            "CAST(ca.n + cb.n - coalesce(p.iu, 0) AS BIGINT) AS union_users, "
+            "round(coalesce(p.iu, 0) / CAST(ca.n + cb.n - coalesce(p.iu, 0) "
+            "AS DOUBLE), 6) AS jaccard "
+            "FROM c ca JOIN c cb ON ca.event_type < cb.event_type "
+            "LEFT JOIN p ON p.ta = ca.event_type AND p.tb = cb.event_type"
+        ),
         "source_quota": (
             "SELECT doc_id, source FROM ("
             "SELECT doc_id, source, row_number() OVER ("
