@@ -48,6 +48,29 @@ def watermarked_window_counts(stream: DataFrame, ts_col: str = "ts",
     )
 
 
+def streaming_sessions(stream: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id", gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization on the engine's native ``session_window``:
+    per-user sessions closed after ``gap`` of inactivity, with event count
+    and value sum per session — the streaming twin of
+    ``ops.relational.sessionize`` (same gap semantics: a session extends
+    while consecutive events are < gap apart).
+
+    The watermark bounds session state: a session older than the watermark
+    finalizes and evicts, so state is O(open sessions), not O(history) —
+    the property a forever-running clickstream needs.
+    """
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col),
+                     F.session_window(F.col(ts_col), gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(key_col, F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 def streaming_exact_dedup(stream: DataFrame, key_col: str = "text",
                           ts_col: str | None = None,
                           watermark: str = "2 hours") -> DataFrame:
