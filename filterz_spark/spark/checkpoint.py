@@ -111,6 +111,9 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
             # re-execute the build forever (epoch inflation, never a no-op)
             completed_now = set(range(num_partitions))
         new_index.write.mode("append").parquet(_state_path(checkpoint_dir))
+        # build wall stops HERE: the snapshot-stats read below is metrics
+        # overhead, not build cost, and must not inflate wall_s
+        build_wall = round(_time.monotonic() - t0, 3)
         lineage["completed_partitions"] = sorted(set(done) | completed_now)
         lineage["epoch"] += 1
         # Iceberg-style snapshot record: what this epoch added and its build
@@ -133,7 +136,7 @@ def checkpointed_build(spark: SparkSession, df: DataFrame, key_col: str,
             "keys": int(stats["keys"]) if stats else 0,
             "build_ns": int(stats["build_ns"]) if stats else 0,
             "mem_usage": int(stats["mem"]) if stats else 0,
-            "wall_s": round(_time.monotonic() - t0, 3),
+            "wall_s": build_wall,
         })
         with open(_lineage_path(checkpoint_dir), "w") as f:
             json.dump(lineage, f)

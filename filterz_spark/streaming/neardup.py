@@ -6,12 +6,16 @@ is LSH-checked against EVERYTHING ingested so far (a parquet store of
 and their signatures are appended to the store — so a page seen in any
 earlier batch (or earlier in this batch, by doc_id order) never re-emits.
 
-Novelty contract (deterministic, order-greedy): scanning candidate docs in
-ascending doc_id, a doc is NOVEL iff none of its (band, minhash) buckets
-has been seen before — in the store or on an already-kept doc of this run.
-That is exactly ``greedy_novel``; the streaming and batch paths share it,
-so streaming over N chunks equals the batch computation over the
-concatenated chunks (gated in tests/test_streaming.py).
+Novelty contract (deterministic, order-greedy): WITHIN a micro-batch,
+docs are scanned in ascending doc_id; a doc is NOVEL iff none of its
+(band, minhash) buckets has been seen before — in the store or on an
+already-kept doc. ACROSS batches, arrival order wins (a doc in an earlier
+batch keeps its buckets regardless of id) — first-arrival semantics, like
+any streaming dedup. The streaming result therefore equals the same
+``greedy_novel`` applied chunk-by-chunk in arrival order (gated in
+tests/test_streaming.py), NOT a globally id-sorted batch pass over the
+concatenation. Docs with NULL text produce no shingles: they cannot
+collide, so they are emitted as trivially novel with nothing stored.
 
 Scale posture: the store-vs-batch collision check is a distributed
 semi-join on the bucket key (the store never leaves executors; at corpus
@@ -73,6 +77,10 @@ class StreamingNearDupDedup:
         self.run_token = run_token
         os.makedirs(base_dir, exist_ok=True)
 
+    # NOTE: the (run_token, last_batch_id, atomic tmp+rename) replay guard
+    # here mirrors ForeachBatchSketcher._load/_store (windowed.py), where
+    # the guard is coupled to per-window sketch payloads; a semantics fix
+    # to either must be applied to both (see commit a7d0c2f).
     def _load_meta(self) -> int:
         if not os.path.exists(self.meta_path):
             return -1
@@ -95,42 +103,52 @@ class StreamingNearDupDedup:
         spark = batch_df.sparkSession
         sigs = minhash_signature_arrays(batch_df, self.num_hashes, self.k) \
             .localCheckpoint(eager=True)
+        try:
+            # distributed store-collision check: only COLLIDED batch ids
+            # come back to the driver, the store itself never does
+            exploded = sigs.select(
+                "doc_id", F.posexplode("sig").alias("band", "minhash"))
+            if os.path.exists(self.store_dir):
+                store = spark.read.schema(STORE_SCHEMA).parquet(self.store_dir)
+                collided = {r["doc_id"] for r in
+                            exploded.join(store, ["band", "minhash"], "left_semi")
+                            .select("doc_id").distinct().collect()}
+            else:
+                collided = set()
 
-        # distributed store-collision check: only COLLIDED batch ids come
-        # back to the driver, the store itself never does
-        exploded = sigs.select(
-            "doc_id", F.posexplode("sig").alias("band", "minhash"))
-        if os.path.exists(self.store_dir):
-            store = spark.read.parquet(self.store_dir)
-            collided = {r["doc_id"] for r in
-                        exploded.join(store, ["band", "minhash"], "left_semi")
-                        .select("doc_id").distinct().collect()}
-        else:
-            collided = set()
-
-        # batch signatures are driver-sized; greedy pass resolves
-        # within-batch collisions deterministically by doc_id order
-        rows = [(r["doc_id"], list(r["sig"])) for r in sigs.collect()
-                if r["doc_id"] not in collided]
-        novel = greedy_novel(rows, set())
-        if novel:
-            novel_df = sigs.filter(F.col("doc_id").isin(novel))
-            # crash ordering: OUT before STORE, with an idempotence guard.
-            # crash after out/before store -> replay recomputes the same
-            # novel set (store unchanged) and the anti-join skips re-append;
-            # crash after store/before meta -> replay sees the docs collide
-            # with their own stored buckets, emits nothing, and out already
-            # has them from before the crash. Either way: exactly once.
-            emit = batch_df.join(novel_df.select("doc_id"), "doc_id", "left_semi")
-            if os.path.exists(self.out_dir):
-                prior = spark.read.parquet(self.out_dir).select("doc_id")
-                emit = emit.join(prior, "doc_id", "left_anti")
-            (emit.withColumn("__batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(self.out_dir))
-            (novel_df.select("doc_id",
+            # batch signatures are driver-sized; greedy pass resolves
+            # within-batch collisions deterministically by doc_id order
+            rows = [(r["doc_id"], list(r["sig"])) for r in sigs.collect()
+                    if r["doc_id"] not in collided]
+            novel = set(greedy_novel(rows, set()))
+            # docs with NULL text have no shingles (the signature pipeline
+            # drops them) — they can never collide with anything, so they
+            # are trivially novel: emit them, nothing to store
+            sigless = {r["doc_id"] for r in batch_df.select("doc_id").collect()} \
+                - {r["doc_id"] for r in sigs.select("doc_id").collect()}
+            emit_ids = novel | sigless
+            if emit_ids:
+                # crash ordering: OUT before STORE, with an idempotence
+                # guard. crash after out/before store -> replay recomputes
+                # the same novel set (store unchanged) and the anti-join
+                # skips re-append; crash after store/before meta -> replay
+                # sees the docs collide with their own stored buckets,
+                # emits nothing, and out already has them from before the
+                # crash. Either way: exactly once.
+                emit = batch_df.filter(F.col("doc_id").isin(list(emit_ids)))
+                if os.path.exists(self.out_dir):
+                    prior = spark.read.parquet(self.out_dir).select("doc_id")
+                    emit = emit.join(prior, "doc_id", "left_anti")
+                (emit.withColumn("__batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(self.out_dir))
+                if novel:
+                    (sigs.filter(F.col("doc_id").isin(list(novel)))
+                     .select("doc_id",
                              F.posexplode("sig").alias("band", "minhash"))
-             .write.mode("append").parquet(self.store_dir))
-        self._store_meta(batch_id)
+                     .write.mode("append").parquet(self.store_dir))
+            self._store_meta(batch_id)
+        finally:
+            sigs.unpersist()
 
     def novel_docs(self, spark) -> DataFrame:
         return spark.read.parquet(self.out_dir)

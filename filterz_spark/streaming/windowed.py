@@ -50,25 +50,33 @@ def watermarked_window_counts(stream: DataFrame, ts_col: str = "ts",
 
 def streaming_sessions(stream: DataFrame, ts_col: str = "ts",
                        key_col: str = "user_id", gap: str = "30 minutes",
-                       watermark: str = "2 hours") -> DataFrame:
+                       watermark: str = "2 hours",
+                       value_col: str | None = "value") -> DataFrame:
     """Streaming sessionization on the engine's native ``session_window``:
-    per-user sessions closed after ``gap`` of inactivity, with event count
-    and value sum per session — the streaming twin of
-    ``ops.relational.sessionize`` (same gap semantics: a session extends
-    while consecutive events are < gap apart).
+    per-key sessions closed after ``gap`` of inactivity, with event count
+    (and, when ``value_col`` is set, a value sum) per session — the
+    streaming twin of ``ops.relational.sessionize``. Same gap semantics as
+    the batch operator: a session EXTENDS at exactly-gap spacing (the
+    batch rule breaks only on gap strictly greater than the threshold, and
+    ``session_window`` merges touching ranges the same way — verified
+    empirically at the boundary).
 
     The watermark bounds session state: a session older than the watermark
     finalizes and evicts, so state is O(open sessions), not O(history) —
-    the property a forever-running clickstream needs.
+    the property a forever-running clickstream needs. Pass
+    ``value_col=None`` for streams without a numeric value column.
     """
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
     return (stream.withWatermark(ts_col, watermark)
             .groupBy(F.col(key_col),
                      F.session_window(F.col(ts_col), gap).alias("w"))
-            .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .agg(*aggs)
             .select(key_col, F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
-                    "n_events", "sum_value"))
+                    "n_events",
+                    *(["sum_value"] if value_col is not None else [])))
 
 
 def streaming_exact_dedup(stream: DataFrame, key_col: str = "text",

@@ -313,3 +313,39 @@ def test_streaming_sessions_match_batch_sessionize(spark, stream_dirs):
     # timestamps — normalize to seconds precision
     got_n = {(u, s[:19], n) for u, s, n in got}
     assert got_n == want and len(want) > 100
+
+
+def test_streaming_neardup_null_text_docs_pass_through(spark):
+    """Docs with NULL text have no shingles: they must be EMITTED as
+    trivially novel (they can never collide), not silently dropped."""
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    base = tempfile.mkdtemp(prefix="fz_ndnull_")
+    try:
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "real words here"), (2, None), (3, "other words entirely")],
+            schema).coalesce(1).write.parquet(os.path.join(src, "c0"))
+        dd = StreamingNearDupDedup(os.path.join(base, "state"), run_token="t")
+        q = (spark.readStream.schema(schema)
+             .option("pathGlobFilter", "*.parquet")
+             .parquet(os.path.join(src, "c*"))
+             .writeStream.foreachBatch(dd).trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .start())
+        q.awaitTermination(120)
+        emitted = sorted(r["doc_id"] for r in dd.novel_docs(spark).collect())
+        assert 2 in emitted, "null-text doc was dropped"
+        assert emitted == [1, 2, 3]
+        # nothing stored for the sig-less doc
+        stored = {r["doc_id"] for r in
+                  spark.read.parquet(dd.store_dir).select("doc_id")
+                  .distinct().collect()}
+        assert stored == {1, 3}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
