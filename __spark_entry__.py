@@ -1067,23 +1067,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'day', strftime(bucket_start, "
             "'%Y-%m-%d %H:%M:%S'), cnt, round(sum_value, 2) FROM d"
         ),
+        # atomic-row as-of: the window picks the latest right ROW's unique
+        # id, then a join recovers that row's values — never a per-column
+        # splice across different right rows
         "asof_join": (
             "WITH u AS ("
             "SELECT event_id, user_id, ts, 1 AS side, "
-            "CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val "
+            "CAST(NULL AS BIGINT) AS r_eid "
             "FROM events WHERE event_type = 'click' "
             "UNION ALL "
-            "SELECT CAST(NULL AS BIGINT), user_id, ts, 0, event_id, value "
-            "FROM events WHERE event_type = 'view') "
-            "SELECT event_id, user_id, event_id_asof, "
-            "round(value_asof, 4) AS value_asof FROM ("
-            "SELECT event_id, user_id, side, "
-            "last_value(r_eid IGNORE NULLS) OVER w AS event_id_asof, "
-            "last_value(r_val IGNORE NULLS) OVER w AS value_asof "
+            "SELECT CAST(NULL AS BIGINT), user_id, ts, 0, event_id "
+            "FROM events WHERE event_type = 'view'), "
+            "picked AS (SELECT event_id, user_id, side, "
+            "last_value(r_eid IGNORE NULLS) OVER w AS event_id_asof "
             "FROM u WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts, side, r_eid NULLS FIRST "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            ") WHERE side = 1"
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT p.event_id, p.user_id, p.event_id_asof, "
+            "round(v.value, 4) AS value_asof "
+            "FROM picked p LEFT JOIN "
+            "(SELECT event_id, value FROM events WHERE event_type = 'view') v "
+            "ON v.event_id = p.event_id_asof WHERE p.side = 1"
         ),
         "range_join": (
             "SELECT l.event_id AS click_id, l.user_id, "

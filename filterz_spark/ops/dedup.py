@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact duplicate groups by content hash: (text_hash, keep_id, dup_count)."""
+    """Exact duplicate groups by content hash: (text_hash, keep_id, dup_count).
+
+    NULL texts form ONE group (md5(NULL)=NULL, SQL GROUP BY semantics —
+    matching the ANSI oracle). That is usually what dedup wants for a
+    missing-content sentinel, but if NULL-text docs must each survive
+    (the streaming near-dup path's pass-through choice), filter them out
+    before this operator and union them back.
+    """
     return (
         docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").cast("long").alias("dup_count"))

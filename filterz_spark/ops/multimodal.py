@@ -44,9 +44,27 @@ def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
-    """Deterministic fake decoder: feature vector from byte-content hashes."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
+def _binary_views(arr: pa.Array):
+    """(data uint8 view, offsets int64) for a non-null Binary/String array —
+    zero-copy row slices straight off the Arrow values buffer (no per-row
+    ``as_py()`` bytes materialization). Returns None when the layout isn't
+    the plain offset/data form (caller falls back to the as_py loop)."""
+    if arr.null_count or len(arr.buffers()) != 3 or arr.buffers()[2] is None:
+        return None
+    width = 8 if pa.types.is_large_binary(arr.type) or \
+        pa.types.is_large_string(arr.type) else 4
+    dtype = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offsets
+
+
+def _fake_decode(payload, out_dim: int) -> np.ndarray:
+    """Deterministic fake decoder: feature vector from byte-content hashes.
+    ``payload``: bytes or a uint8 numpy view."""
+    arr = payload if isinstance(payload, np.ndarray) \
+        else np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(out_dim, dtype=np.float32)
     pad = (-arr.size) % 8
@@ -71,7 +89,14 @@ def _decode_fn(fake: bool):
                 )
             ids = batch.column(0)
             payloads = batch.column(1)
-            feats = [_fake_decode(p.as_py() or b"", IMAGE_FEATURE_DIM) for p in payloads]
+            views = _binary_views(payloads)
+            if views is not None:
+                data, off = views
+                feats = [_fake_decode(data[off[i]:off[i + 1]], IMAGE_FEATURE_DIM)
+                         for i in range(len(payloads))]
+            else:  # nulls / exotic layout: per-row fallback
+                feats = [_fake_decode(p.as_py() or b"", IMAGE_FEATURE_DIM)
+                         for p in payloads]
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))],
                 names=["media_id", "features"],
@@ -104,19 +129,33 @@ def _resize_fn(out_h: int, out_w: int, fake: bool):
                     "fake=True to treat the payload bytes as the pixel grid"
                 )
             ids = batch.column(0)
-            out = []
-            for p in batch.column(1):
-                raw = np.frombuffer(p.as_py() or b"", dtype=np.uint8)[: RESIZE_SRC * RESIZE_SRC]
-                grid = np.zeros(RESIZE_SRC * RESIZE_SRC, dtype=np.float64)
-                grid[: raw.size] = raw
-                grid = grid.reshape(RESIZE_SRC, RESIZE_SRC)
-                # area (box-filter) resample: each output pixel is the exact
-                # mean of its bh x bw source block, so sum(out)*bh*bw ==
-                # sum(source bytes) exactly — the oracle-checkable invariant
-                small = grid.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
-                out.append(small.astype(np.float32).ravel().tolist())
+            payloads = batch.column(1)
+            n = len(payloads)
+            src = RESIZE_SRC * RESIZE_SRC
+            views = _binary_views(payloads)
+            if views is not None:
+                # fully vectorized: gather the first src bytes of every
+                # payload into one (n, src) matrix straight off the Arrow
+                # values buffer (zero-padded via the validity mask)
+                data, off = views
+                lens = np.minimum(off[1:] - off[:-1], src)
+                idx = off[:-1, None] + np.arange(src)[None, :]
+                valid = np.arange(src)[None, :] < lens[:, None]
+                safe = np.minimum(idx, max(data.size - 1, 0))
+                grid = np.where(valid, data[safe] if data.size else 0,
+                                0).astype(np.float64)
+            else:  # nulls / exotic layout: per-row fallback
+                grid = np.zeros((n, src), dtype=np.float64)
+                for i, p in enumerate(payloads):
+                    raw = np.frombuffer(p.as_py() or b"", dtype=np.uint8)[:src]
+                    grid[i, : raw.size] = raw
+            # area (box-filter) resample: each output pixel is the exact
+            # mean of its bh x bw source block, so sum(out)*bh*bw ==
+            # sum(source bytes) exactly — the oracle-checkable invariant
+            small = (grid.reshape(n, out_h, bh, out_w, bw).mean(axis=(2, 4))
+                     .astype(np.float32).reshape(n, out_h * out_w))
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out, pa.list_(pa.float32()))],
+                [ids, pa.array(small.tolist(), pa.list_(pa.float32()))],
                 names=["media_id", "pixels"],
             )
 

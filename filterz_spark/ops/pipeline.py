@@ -39,7 +39,12 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
 
     ``fractions``: per-stratum keep probabilities (strata absent from the
     dict are dropped — the explicit mixture spec, like stratified_sample).
+    ``max_contamination`` must be > 0: the decontamination stage drops docs
+    AT or above the threshold, so 0.0 would drop every doc including fully
+    clean ones (contamination 0.0) — rejected loudly instead.
     """
+    if not 0.0 < max_contamination <= 1.0:
+        raise ValueError("max_contamination must be in (0, 1]")
     norm = normalize_text(docs, keep_cols=(strata_col,))
 
     # exact dedup on normalized content: keep the min doc_id per hash

@@ -54,15 +54,17 @@ def filter_prefiltered_join(probe_df: DataFrame, build_df: DataFrame,
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30) -> DataFrame:
+               gap_minutes: int = 30, tiebreak_col: str = "event_id") -> DataFrame:
     """(user_id, session_id, n_events, session_start) via lag + gap cutoff.
 
     session_id = running count of gap-breaks per user (window exec,
-    shuffle on user_id only).
+    shuffle on user_id only). ``tiebreak_col`` (a unique per-row column)
+    makes the within-user event order — and therefore session assignment —
+    deterministic when timestamps collide.
     """
     # microsecond-exact gap math (event timestamps carry fractional seconds;
     # integer micros avoid float-vs-truncation drift against SQL oracles)
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
@@ -128,29 +130,37 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
     (input order column appended to the sort) wins deterministically.
     """
     lcols = [c for c in left.columns]
+    # ONE struct carries all right values: last(struct, ignorenulls) picks
+    # the latest right ROW atomically — per-column last() would skip a NULL
+    # in the latest row's column and splice in an OLDER row's value, an
+    # annotation that exists on no single right row
+    r_struct = F.struct(*[F.col(v).alias(v) for v in value_cols])
     l_tagged = left.select(
         *lcols, F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
-          for v in value_cols])
+        F.lit(None).cast(
+            right.select(r_struct.alias("s")).schema["s"].dataType)
+        .alias("__r"))
     r_tagged = right.select(
         *[F.col(key_col) if c == key_col
           else (F.col(ts_col) if c == ts_col else F.lit(None).cast(left.schema[c].dataType))
           .alias(c) for c in lcols],
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__r_{v}") for v in value_cols])
+        r_struct.alias("__r"))
     union = l_tagged.unionByName(r_tagged)
     # total order: ts, then side (right rows before left at equal ts), then
     # the first value column nulls-first — pass a UNIQUE right column (e.g.
     # its id) first in value_cols to make equal-timestamp ties deterministic
     w = (Window.partitionBy(key_col)
          .orderBy(F.col(ts_col).asc(), F.col("__side").asc(),
-                  F.col(f"__r_{value_cols[0]}").asc_nulls_first())
+                  F.col(f"__r.{value_cols[0]}").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = union.select(
         *lcols, "__side",
-        *[F.last(f"__r_{v}", ignorenulls=True).over(w)
-          .alias(f"{v}{suffix}") for v in value_cols])
-    return carried.filter(F.col("__side") == 1).drop("__side")
+        F.last("__r", ignorenulls=True).over(w).alias("__r_last"))
+    return (carried.filter(F.col("__side") == 1)
+            .select(*lcols,
+                    *[F.col(f"__r_last.{v}").alias(f"{v}{suffix}")
+                      for v in value_cols]))
 
 
 def range_join(left: DataFrame, right: DataFrame, left_ts: str,

@@ -31,11 +31,22 @@ def _dot_expr(a, b):
 def _batch_matrix(list_array: pa.Array) -> np.ndarray:
     """Arrow list<float> column -> (n, dim) float64 matrix WITHOUT the
     per-row python objects of ``to_pylist()`` (flatten is zero-copy on the
-    values buffer; embeddings are fixed-width, nulls absent)."""
+    values buffer). Embeddings must be non-null and fixed-width: a NULL or
+    ragged row would silently shift every later row's values under the
+    reshape, corrupting buckets/assignments/codes for the whole batch — so
+    both conditions are validated, loudly."""
     n = len(list_array)
     if n == 0:
         return np.zeros((0, 0), dtype=np.float64)
+    if list_array.null_count:
+        raise ValueError(
+            f"embedding column contains {list_array.null_count} NULL "
+            "row(s); drop or impute them before similarity ops")
     flat = list_array.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n:
+        raise ValueError(
+            f"ragged embedding widths in batch ({flat.size} values over "
+            f"{n} rows); embeddings must be fixed-width")
     return flat.reshape(n, flat.size // n)
 
 
@@ -113,14 +124,16 @@ def ivf_train(embeddings: DataFrame, n_clusters: int = 16, iters: int = 5,
     per round (assign map-side with broadcast centroids, re-center with a
     groupBy avg). Returns (n_clusters, dim) float64 centroids.
 
-    Scale posture: each iteration is one scan + one tiny shuffle
-    (n_clusters groups); centroids stay driver-side (KB)."""
+    Scale posture: each iteration is ONE scan + one tiny shuffle
+    (n_clusters groups) — the assignment pass carries the vector through
+    (``carry_vec``), so no per-iteration corpus join; centroids stay
+    driver-side (KB)."""
     first = (embeddings.orderBy(id_col).limit(n_clusters)
              .select(vec_col).collect())
     centroids = np.array([r[0] for r in first], dtype=np.float64)
     for _ in range(iters):
-        assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
-        joined = assigned.join(embeddings.select(id_col, vec_col), id_col)
+        joined = ivf_assign(embeddings, centroids, vec_col, id_col,
+                            carry_vec=True)
         for r in _recenter_means(joined, vec_col).collect():
             for e in r["dm"]:
                 centroids[r["cluster"]][e["d"]] = e["m"]
@@ -147,8 +160,13 @@ def _recenter_means(assigned_vecs: DataFrame, vec_col: str) -> DataFrame:
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(id, cluster) nearest-centroid assignment, Arrow-batched matmul."""
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               carry_vec: bool = False) -> DataFrame:
+    """(id, cluster[, vec]) nearest-centroid assignment, Arrow-batched
+    matmul. ``carry_vec`` echoes the input vector through the same Arrow
+    pass — consumers that need (cluster, vec) together (Lloyd re-centering,
+    index building) avoid a full-corpus shuffle join back onto the
+    embeddings table."""
     cb = centroids.tolist()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -161,12 +179,17 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
             if mat.size == 0:
                 continue
             sims = (mat @ c.T) / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12) / cn
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(np.argmax(sims, axis=1).astype(np.int32))],
-                names=[id_col, "cluster"])
+            cols = [ids, pa.array(np.argmax(sims, axis=1).astype(np.int32))]
+            names = [id_col, "cluster"]
+            if carry_vec:
+                cols.append(batch.column(1))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return embeddings.select(id_col, vec_col).mapInArrow(
-        fn, f"{id_col} long, cluster int")
+    schema = f"{id_col} long, cluster int"
+    if carry_vec:
+        schema += f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
+    return embeddings.select(id_col, vec_col).mapInArrow(fn, schema)
 
 
 def ivf_index(embeddings: DataFrame, centroids: np.ndarray,
@@ -179,8 +202,7 @@ def ivf_index(embeddings: DataFrame, centroids: np.ndarray,
     re-assigning the full corpus (at 10^9 vectors the difference between a
     full-corpus matmul per query and ~n_probe/n_clusters of it). On a real
     deployment this DataFrame would be written bucketed-by-cluster."""
-    assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
-    return (embeddings.select(id_col, vec_col).join(assigned, id_col)
+    return (ivf_assign(embeddings, centroids, vec_col, id_col, carry_vec=True)
             .repartition("cluster").cache())
 
 
@@ -299,8 +321,10 @@ def pq_train(embeddings: DataFrame, m: int = 4, k_sub: int = 16,
     dsub = dim // m
     codebooks = np.stack([init[:, j * dsub:(j + 1) * dsub] for j in range(m)])
     for _ in range(iters):
-        codes = pq_encode(embeddings, codebooks, vec_col, id_col)
-        joined = codes.join(embeddings.select(id_col, vec_col), id_col)
+        # the encode pass carries the vector through — no per-iteration
+        # corpus join to reunite codes with their vectors
+        joined = pq_encode(embeddings, codebooks, vec_col, id_col,
+                           carry_vec=True)
         ex = joined.select(
             "codes", F.posexplode(vec_col).alias("d", "x"))
         sub = (F.col("d") / dsub).cast("int")
@@ -319,10 +343,13 @@ def pq_train(embeddings: DataFrame, m: int = 4, k_sub: int = 16,
 
 
 def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(id, codes array<int> of length m): nearest sub-centroid per subspace
-    (L2). One Arrow-batched map pass — at corpus scale this table (m bytes
-    of code per vector vs dim floats) IS the compressed index you persist."""
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              carry_vec: bool = False) -> DataFrame:
+    """(id, codes array<int> of length m[, vec]): nearest sub-centroid per
+    subspace (L2). One Arrow-batched map pass — at corpus scale this table
+    (m bytes of code per vector vs dim floats) IS the compressed index you
+    persist. ``carry_vec`` echoes the vector through the pass (training
+    re-centering needs codes+vector together without a corpus join)."""
     m, k_sub, dsub = codebooks.shape
     cb = codebooks.tolist()
 
@@ -339,12 +366,17 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
                 x = mat[:, j * dsub:(j + 1) * dsub]
                 # argmin_c |x-c|^2 = argmin_c |c|^2 - 2 x.c (|x|^2 constant)
                 codes[:, j] = np.argmin(cnorm2[j] - 2.0 * (x @ c[j].T), axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(codes.tolist(), pa.list_(pa.int32()))],
-                names=[id_col, "codes"])
+            cols = [ids, pa.array(codes.tolist(), pa.list_(pa.int32()))]
+            names = [id_col, "codes"]
+            if carry_vec:
+                cols.append(batch.column(1))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return embeddings.select(id_col, vec_col).mapInArrow(
-        fn, f"{id_col} long, codes array<int>")
+    schema = f"{id_col} long, codes array<int>"
+    if carry_vec:
+        schema += f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
+    return embeddings.select(id_col, vec_col).mapInArrow(fn, schema)
 
 
 def pq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
@@ -443,7 +475,11 @@ def ivfpq_ann_topk(embeddings: DataFrame, query_vec: Sequence[float],
     sims = (centroids @ q) / (np.linalg.norm(q) + 1e-12) / cn
     probe_clusters = [int(c) for c in np.argsort(-sims)[:n_probe]]
     if index is None:
-        index = ivfpq_index(embeddings, centroids, codebooks, vec_col, id_col)
+        # one-off query: build the lists inline WITHOUT cache/repartition —
+        # ivfpq_index's cached form is for serving workloads; caching it
+        # per ad-hoc call would pin a corpus-sized copy per query
+        index = pq_encode(embeddings, codebooks, vec_col, id_col).join(
+            ivf_assign(embeddings, centroids, vec_col, id_col), id_col)
     lists = index.filter(F.col("cluster").isin(probe_clusters))
     scored = _adc_scores(lists, codebooks, query_vec, id_col)
     cand = scored.orderBy(F.desc("adc"), F.col(id_col)).limit(rerank).select(id_col)

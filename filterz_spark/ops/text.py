@@ -160,6 +160,21 @@ ROLLING_WINDOW = 8
 ROLLING_BASE = 23  # 28-bit word hashes * 23^7 * 8 terms stays < 2^63 exactly
 
 
+def _check_rolling_window(window: int) -> None:
+    """The polynomial fingerprint must stay exact in int64: the largest
+    term is wh_max * BASE^(window-1) and the sum has ``window`` terms.
+    Beyond the bound Spark's non-ANSI long arithmetic would WRAP silently
+    while the DuckDB twin errors — a silent oracle divergence, so the
+    bound is enforced here for both paths."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    wh_max = 16 ** 7 - 1  # 7 md5 hex chars
+    if window * wh_max * ROLLING_BASE ** (window - 1) > (1 << 63) - 1:
+        raise ValueError(
+            f"window={window} overflows int64 with base {ROLLING_BASE} "
+            f"(max supported window is 8)")
+
+
 def rolling_fingerprints(docs: DataFrame, window: int = ROLLING_WINDOW) -> DataFrame:
     """Rolling polynomial (Rabin-Karp family) fingerprints: min/max over all
     ``window``-word polynomial hashes per doc — an order-SENSITIVE content
@@ -175,6 +190,7 @@ def rolling_fingerprints(docs: DataFrame, window: int = ROLLING_WINDOW) -> DataF
     Output: (doc_id, n_windows, rolling_min, rolling_max) —
     ``rolling_fingerprints_sql`` is the bit-identical DuckDB twin.
     """
+    _check_rolling_window(window)
     w = Window.partitionBy("doc_id").orderBy("pos")
     words = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
@@ -212,6 +228,7 @@ def rolling_fingerprints(docs: DataFrame, window: int = ROLLING_WINDOW) -> DataF
 def rolling_fingerprints_sql(table: str = "documents",
                              window: int = ROLLING_WINDOW) -> str:
     """DuckDB twin of ``rolling_fingerprints`` (same values, same windows)."""
+    _check_rolling_window(window)
     b = ROLLING_BASE
     full = " + ".join(
         f"lead(wh, {j}) OVER w * {b ** (window - 1 - j)}" for j in range(window))

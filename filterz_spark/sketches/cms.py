@@ -34,10 +34,16 @@ class CmsSketch(MergeableSketch):
 
     @classmethod
     def zero(cls, depth: int = 5, width: int = 8192) -> "CmsSketch":
+        if depth < 1 or width < 1:
+            raise ValueError(f"CMS needs depth >= 1 and width >= 1, "
+                             f"got ({depth}, {width})")
         return cls(np.zeros((depth, width), dtype=np.int64))
 
     @classmethod
     def from_eps_delta(cls, eps: float, delta: float) -> "CmsSketch":
+        if not 0.0 < eps < 1.0 or not 0.0 < delta < 1.0:
+            raise ValueError("eps and delta must be in (0, 1) — delta >= 1 "
+                             "would yield a zero-depth (broken) sketch")
         width = int(math.ceil(math.e / eps))
         depth = int(math.ceil(math.log(1.0 / delta)))
         return cls.zero(depth=depth, width=width)

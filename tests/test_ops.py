@@ -238,6 +238,23 @@ class TestTemporalJoins:
             # highest unique id wins (last in the nulls-first ascending order)
             assert (row["event_id_asof"], row["value_asof"]) == (9, 2.0)
 
+    def test_asof_null_value_in_latest_row_not_spliced(self, spark):
+        """A NULL in the latest right row must surface as NULL — not be
+        silently replaced by an OLDER row's value (atomic-row contract)."""
+        from filterz_spark.ops.relational import asof_join
+        import datetime as dt
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        left = spark.createDataFrame([(1, 5, t(10))],
+                                     ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [(5, t(1), 100, 7.0), (5, t(2), 101, None)],
+            "user_id long, ts timestamp, event_id long, value double")
+        row = asof_join(left, right, "user_id", "ts",
+                        ("event_id", "value")).collect()[0]
+        assert row["event_id_asof"] == 101
+        assert row["value_asof"] is None, \
+            "older row's value was spliced into the latest row's annotation"
+
     def test_range_join_keys_and_bounds(self, spark):
         from filterz_spark.ops.relational import range_join
         import datetime as dt
