@@ -275,15 +275,12 @@ def contains(solution: np.ndarray, seed: int, coeff_bits: int, result_bits: int,
     size = solution.shape[0]
     start_range = size + 1 - coeff_bits
 
-    hash0 = np.uint64(seed) ^ h
-    h32 = (hash0 ^ (hash0 >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
-    w = np.uint64(coeff_bits // 8)
-    smash = (np.uint64(start_range) + w * np.uint64(2)) * h32 >> np.uint64(32)
-    pos = np.where(smash > w, smash - w, np.uint64(0))
-    start = np.minimum(np.uint64(start_range - 1), pos).astype(np.int64)
-
-    hi, lo = _coeff_rows_vec(coeff_bits, seed, h)
-    expected = ((hash0 >> np.uint64(32)) ^ hash0) & np.uint64((1 << result_bits) - 1)
+    # identical start/coeff/result derivation as the build side — ONE
+    # implementation, or a boundary edit to either would silently break
+    # the zero-false-negative guarantee
+    start, hi, lo, rr = _key_params_vec(coeff_bits, result_bits, seed,
+                                        start_range, h)
+    expected = rr.astype(np.uint64)
 
     window = solution[start[:, None] + np.arange(coeff_bits)[None, :]]  # (b, cb)
     ks = np.arange(coeff_bits, dtype=np.uint64)

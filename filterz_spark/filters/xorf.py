@@ -281,7 +281,7 @@ def construct(hashes: np.ndarray, arity: int, fp_bits: int):
 
         fingerprints = np.zeros(alen, dtype=dtype)
         mask_i = (1 << fp_bits) - 1
-        mask = np.uint64(mask_i) if fp_bits < 64 else np.uint64(-1)
+        mask = np.uint64(mask_i) if fp_bits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
         # tail first (peeled last -> assigned first), element-wise in
         # reverse peel order (ref :199-216)
         scl = header.segment_count_length
@@ -349,25 +349,30 @@ def _queue_peel_tail(arity: int, header: Header, count: np.ndarray,
 
 
 def contains(header: Header, fingerprints: np.ndarray, arity: int, fp_bits: int,
-             hashes: np.ndarray) -> np.ndarray:
-    """Vectorized membership probe (ref src/xorf.zig:42-50)."""
+             hashes: np.ndarray, _fp_u64: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized membership probe (ref src/xorf.zig:42-50).
+
+    An empty filter needs no special casing: its fingerprint array is all
+    zero, so the reference equation matches exactly when the mixed hash's
+    fingerprint truncates to 0. ``_fp_u64``: caller-cached u64 widening of
+    the fingerprint array for the native kernel — without it each call
+    pays a full-array widening copy (XorFilter.check caches it; see
+    native ribbon_contains for the probe-native-width rationale)."""
     if hashes.size == 0:
         return np.zeros(0, dtype=bool)
-    if header.size == 0:
-        # empty filter: fingerprint array all zero; fp(h)==0 only when the
-        # mixed hash truncates to 0 — match reference equation exactly
-        pass
     from .. import native
     if native.available() and fp_bits <= 64:
+        wide = _fp_u64 if _fp_u64 is not None \
+            else fingerprints.astype(np.uint64, copy=False)
         res = native.xorf_contains(
-            fingerprints.astype(np.uint64, copy=False), header.seed, arity,
+            wide, header.seed, arity,
             header.segment_length, header.segment_count_length, fp_bits,
             hashes.astype(np.uint64, copy=False))
         if res is not None:
             return res
     h = murmur64_mix(hashes.astype(np.uint64, copy=False), header.seed)
     sub = make_subhashes(arity, header, h)
-    mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(-1)
+    mask = np.uint64((1 << fp_bits) - 1) if fp_bits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     acc = make_fingerprint(h, fp_bits)
     for i in range(arity):
         acc = acc ^ (fingerprints[sub[:, i]].astype(np.uint64) & mask)
@@ -393,7 +398,12 @@ class XorFilter:
         return cls(header, fps, arity, fp_bits, int(hashes.size))
 
     def check(self, hashes: np.ndarray) -> np.ndarray:
-        return contains(self.header, self.fingerprints, self.arity, self.fp_bits, hashes)
+        if getattr(self, "_fp_u64", None) is None:
+            # widen ONCE per filter: the native kernel reads u64 slots, and
+            # re-widening per probe batch costs a full-array copy each call
+            self._fp_u64 = self.fingerprints.astype(np.uint64, copy=False)
+        return contains(self.header, self.fingerprints, self.arity,
+                        self.fp_bits, hashes, _fp_u64=self._fp_u64)
 
     def mem_usage(self) -> int:
         # stored (possibly widened) width, matching ref mem_usage semantics

@@ -122,6 +122,11 @@ def sbbf_insert(blocks: np.ndarray, hashes: np.ndarray) -> bool:
     Byte-identical to the numpy path. Returns False if unavailable."""
     if not available():
         return False
+    if not blocks.flags.writeable:
+        # ndpointer does not check WRITEABLE: without this guard the C
+        # kernel would silently mutate the immutable bytes object backing
+        # a deserialized filter (the numpy path raises here too)
+        raise ValueError("assignment destination is read-only")
     lib = _load()
     b = np.ascontiguousarray(blocks, dtype=np.uint64)
     h = np.ascontiguousarray(hashes, dtype=np.uint64)
@@ -136,6 +141,8 @@ def sbbf_insert_check(blocks: np.ndarray, hashes: np.ndarray):
     the bool array, or None if unavailable."""
     if not available():
         return None
+    if not blocks.flags.writeable:
+        raise ValueError("assignment destination is read-only")
     lib = _load()
     b = np.ascontiguousarray(blocks, dtype=np.uint64)
     h = np.ascontiguousarray(hashes, dtype=np.uint64)

@@ -69,6 +69,12 @@ def hashed_keys(df: DataFrame, key_col: str) -> DataFrame:
     return df.select(F.xxhash64(key_col).alias("h"))
 
 
+def _construct_errors() -> tuple:
+    """The Las-Vegas construction-failure types (executor-side import)."""
+    from ..filters import ribbon, xorf
+    return (xorf.ConstructError, ribbon.ConstructError, MemoryError)
+
+
 def _build_partition_fn(kind: str, params: dict, skip_pids: frozenset | None = None):
     """mapInArrow closure: accumulate the partition's hashes, dedup, build."""
 
@@ -76,11 +82,12 @@ def _build_partition_fn(kind: str, params: dict, skip_pids: frozenset | None = N
         import numpy as np  # executor-side
 
         pid = TaskContext.get().partitionId()
+        if skip_pids and pid in skip_pids:
+            return  # before consuming: a skipped partition's batches are
+            # never pulled through Arrow or materialized
         chunks = []
         for batch in batches:
             chunks.append(batch.column(0).to_numpy(zero_copy_only=False))
-        if skip_pids and pid in skip_pids:
-            return
         if not chunks:
             return
         # int64 -> uint64 reinterpret, then sort+dedup (ref src/bench.zig:258-280)
@@ -97,7 +104,11 @@ def _build_partition_fn(kind: str, params: dict, skip_pids: frozenset | None = N
             t0 = time.monotonic_ns()
             try:
                 filt = FILTER_KINDS[kind].build(h, **params)
-            except Exception:
+            except _construct_errors() as exc:  # noqa: F841
+                # ONLY Las-Vegas seed exhaustion triggers a re-split —
+                # a bad param / type error is not size-dependent and would
+                # otherwise burn 2^depth redundant rebuild attempts before
+                # surfacing from a leaf
                 if depth >= MAX_SPLIT_DEPTH:
                     raise
                 mid = h.size // 2

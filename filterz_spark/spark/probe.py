@@ -122,6 +122,11 @@ def probe_membership(probe_df: DataFrame, key_col: str,
     ``index_rows`` may be a plain list (broadcast internally — the payloads
     travel to each executor once, not inside every task closure) or a
     ``Broadcast`` handle from ``broadcast_index`` (reused across calls).
+    NOTE: the internal broadcast of a plain list cannot be unpersisted by
+    the caller (it must outlive the returned lazy DataFrame) and lives
+    until the session ends — for a QUERY LOOP over the same index, pass a
+    ``broadcast_index`` handle and ``.unpersist()`` it yourself; the
+    convenience list form is for one-shot probes.
     """
     if not isinstance(index_rows, Broadcast):
         index_rows = broadcast_index(probe_df.sparkSession, index_rows)

@@ -160,3 +160,31 @@ def test_xorf_single_key_and_duplicate_free_requirement():
     one = np.array([42], dtype=np.uint64)
     f = XorFilter.build(one, 3, 16)
     assert f.check(one).all()
+
+
+class TestRibbonScalarVectorParity:
+    def test_key_params_vec_matches_scalar_reference(self):
+        """The vectorized (start, coeff, result) derivation must equal the
+        readable scalar reference implementations for every coeff width —
+        build and probe BOTH derive through _key_params_vec, so this pins
+        the whole boundary-sensitive smash/clamp math."""
+        from filterz_spark.filters.ribbon import (_coeff_row_int,
+                                                  _key_params_vec,
+                                                  _result_row_int,
+                                                  _start_pos_int)
+        from filterz_spark.hashing import splitmix64_array
+        h = splitmix64_array(77, 500)
+        for coeff_bits in (32, 64, 128):
+            for n in (1, 2, 63, 64, 65, 1000):
+                seed = 1469598103934665603 ^ n
+                start, hi, lo, rr = _key_params_vec(coeff_bits, 16, seed, n, h)
+                for i in range(0, 500, 37):
+                    x = int(h[i])
+                    assert start[i] == _start_pos_int(coeff_bits, seed, n, x)
+                    cr = _coeff_row_int(coeff_bits, seed, x)
+                    assert int(lo[i]) == cr & 0xFFFFFFFFFFFFFFFF or coeff_bits == 32
+                    if coeff_bits == 32:
+                        assert int(lo[i]) == cr
+                    if coeff_bits == 128:
+                        assert int(hi[i]) == cr >> 64
+                    assert rr[i] == _result_row_int(16, seed, x)

@@ -178,3 +178,27 @@ def test_broken_compiler_falls_back_to_numpy(monkeypatch, tmp_path):
         assert ribbon.contains(sol, seed, 64, 8, h.size, h).all()
     finally:
         monkeypatch.setattr(native, "_lib", None)  # re-probe real gcc later
+
+
+def test_native_sbbf_insert_rejects_read_only_blocks():
+    """ndpointer does not check WRITEABLE: without the guard, inserting
+    into a deserialized (bytes-backed, read-only) filter would silently
+    corrupt the immutable payload every other holder shares."""
+    import numpy as np
+    import pytest
+
+    from filterz_spark import native
+    from filterz_spark.filters import SbbfFilter
+    from filterz_spark.hashing import splitmix64_array
+
+    if not native.available():
+        pytest.skip("native kernels unavailable")
+    f = SbbfFilter.build(splitmix64_array(1, 2000), bits_per_key=16)
+    payload = f.serialize()
+    g = SbbfFilter.deserialize(payload, f.params())
+    snapshot = bytes(payload)
+    with pytest.raises(ValueError, match="read-only"):
+        native.sbbf_insert(g.blocks, splitmix64_array(2, 10))
+    with pytest.raises(ValueError, match="read-only"):
+        native.sbbf_insert_check(g.blocks, splitmix64_array(2, 10))
+    assert bytes(payload) == snapshot

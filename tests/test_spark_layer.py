@@ -268,7 +268,8 @@ class TestConstructionRetry:
             @classmethod
             def build(cls, hashes, **params):
                 if hashes.size > cls.LIMIT:
-                    raise RuntimeError("synthetic construction failure")
+                    from filterz_spark.filters.xorf import ConstructError
+                    raise ConstructError("synthetic construction failure")
                 f = XorFilter.build(hashes, **params)
                 return cls(f.header, f.fingerprints, f.arity, f.fp_bits, f.num_keys)
 
