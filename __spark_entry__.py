@@ -553,6 +553,22 @@ def _q_event_props(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"))
 
 
+def _q_mg_event_types(spark, sf_dir):
+    """Misra-Gries frequent items over event types, distributed via the
+    same partial+tree-merge spine as every sketch. Fewer distinct keys
+    than k means the summary NEVER compacts — estimates are provably
+    exact, so the entry value-matches plain GROUP BY counts (the oracle).
+    The compaction/bound regime is gated in tests/test_sketches.py."""
+    from filterz_spark.spark.merge import sketch_column
+    ev = _t(spark, sf_dir, "events")
+    mg = sketch_column(ev, "event_type", "mg", {"k": 64})
+    key_map = {r["h"]: r["event_type"] for r in
+               ev.select("event_type", F.xxhash64("event_type").alias("h"))
+               .distinct().collect()}
+    rows = [(key_map[h], int(c)) for h, c in mg.counters.items()]
+    return spark.createDataFrame(rows, "event_type string, mg_count long")
+
+
 def _q_type_overlap_matrix(spark, sf_dir):
     """Pairwise distinct-user overlap across ALL event types (the
     dataset-overlap matrix): ONE grouped scan builds a theta sketch per
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "event_props": _q_event_props,
         "type_overlap_matrix": _q_type_overlap_matrix,
+        "mg_event_types": _q_mg_event_types,
         "range_join": _q_range_join,
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
@@ -1031,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
         # resize invariant: sum(resized)*block_area == byte sum of the first
         # 256 payload bytes (payload = utf-8 of text; text is pure ascii, so
         # per-char ascii codes ARE the payload bytes)
+        "mg_event_types": (
+            "SELECT event_type, count(*) AS mg_count FROM events "
+            "GROUP BY event_type"
+        ),
         "type_overlap_matrix": (
             "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
             "c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1), "

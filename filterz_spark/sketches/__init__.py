@@ -12,6 +12,7 @@ from .hll import HllSketch
 from .cms import CmsSketch
 from .tdigest import TDigestSketch
 from .kll import KllSketch
+from .mg import MisraGriesSketch
 from .theta import ThetaSketch
 
 SKETCH_KINDS = {
@@ -21,6 +22,7 @@ SKETCH_KINDS = {
     "tdigest": TDigestSketch,
     "kll": KllSketch,
     "theta": ThetaSketch,
+    "mg": MisraGriesSketch,
 }
 
 

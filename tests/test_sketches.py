@@ -360,3 +360,47 @@ class TestCdfRank:
             x = float(np.quantile(data, q))
             true_rank = np.searchsorted(ds, x) / ds.size
             assert abs(s.rank(x) - true_rank) < 0.02, q
+
+
+class TestMisraGries:
+    def test_exact_below_k_distinct(self):
+        from filterz_spark.sketches import MisraGriesSketch
+        keys = np.repeat(np.arange(5, dtype=np.int64), [50, 40, 30, 20, 10])
+        s = MisraGriesSketch.zero(k=8)
+        s.update(keys)
+        for key, want in zip(range(5), [50, 40, 30, 20, 10]):
+            assert s.estimate(key) == want  # never compacts: exact
+
+    def test_bound_holds_under_any_merge_order(self):
+        from filterz_spark.sketches import MisraGriesSketch
+        rng = np.random.default_rng(11)
+        # zipf stream: few heavy keys over a long tail
+        data = (rng.zipf(1.3, 200_000) % 10_000).astype(np.int64)
+        true = {int(key): int(c) for key, c in
+                zip(*np.unique(data, return_counts=True))}
+        parts = []
+        for i in range(16):
+            s = MisraGriesSketch.zero(k=64)
+            s.update(data[i::16])
+            parts.append(s)
+        for order in (parts, parts[::-1], parts[5:] + parts[:5]):
+            m = functools.reduce(lambda a, b: a.merge(b), order)
+            assert m.n == data.size and len(m.counters) < 64
+            bound = m.error_bound()
+            for key, est in m.counters.items():
+                f = true.get(key, 0)
+                assert f - bound <= est <= f, (key, est, f)
+            # every item above N/k is present (the find guarantee)
+            for key, f in true.items():
+                if f > bound:
+                    assert key in m.counters, (key, f, bound)
+
+    def test_roundtrip_and_weighted_update(self):
+        from filterz_spark.sketches import MisraGriesSketch
+        s = MisraGriesSketch.zero(k=16)
+        s.update(np.array([1, 2, 1], dtype=np.int64))
+        s.update(np.array([3, 1], dtype=np.int64),
+                 np.array([5, 2], dtype=np.int64))
+        t = MisraGriesSketch.deserialize(s.serialize(), s.params())
+        assert t.counters == s.counters == {1: 4, 2: 1, 3: 5} and t.n == 10
+        assert s.heavy_hitters(4) == {1: 4, 3: 5}
