@@ -630,6 +630,14 @@ def _q_media_resize(spark, sf_dir):
     )
 
 
+def _q_lm_scores(spark, sf_dir):
+    """Unigram LM quality scores (the KenLM-filter proxy) — full-value
+    oracle: corpus word frequencies and per-doc mean log-prob recomputed
+    in SQL."""
+    from filterz_spark.ops.text import unigram_logprob_scores
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 def _q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition filters: distinct-word ratio and top word /
     bigram fractions per doc — full-value SQL oracle."""
@@ -698,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_training_set": _q_curated_training_set,
         "normalized_docs": _q_normalized_docs,
         "repetition_scores": _q_repetition_scores,
+        "lm_scores": _q_lm_scores,
         "decontaminate": _q_decontaminate,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -1159,6 +1168,15 @@ def oracle_sql() -> dict[str, str]:
             "' +', ' ', 'g')) AS norm_text, "
             "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
             "' +', ' ', 'g'))) AS norm_hash FROM documents"
+        ),
+        "lm_scores": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "vocab AS (SELECT w, count(*) AS wc FROM words GROUP BY w), "
+            "tot AS (SELECT count(*) AS n FROM words) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "round(avg(ln(wc / CAST(n AS DOUBLE))), 4) AS lm_score "
+            "FROM words JOIN vocab USING (w), tot GROUP BY doc_id"
         ),
         "repetition_scores": (
             "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "

@@ -76,6 +76,33 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
                     .alias("top_bigram_frac")))
 
 
+def unigram_logprob_scores(docs: DataFrame,
+                           broadcast_vocab: bool = True) -> DataFrame:
+    """Corpus-unigram language-model score per doc:
+    (doc_id, n_words, lm_score = mean over words of ln(corpus_freq(word)
+    / total_words)) — the cheap LM-filter proxy (KenLM-style perplexity
+    filtering's unigram floor): gibberish and rare-token spam score very
+    negative, fluent text near the corpus average.
+
+    Plan: one explode+groupBy builds the vocabulary table (word, count)
+    and one aggregate the total; docs re-join their words against the
+    vocabulary — broadcast by default (a deduplicated unigram vocab is
+    MB-scale even for web corpora; ``broadcast_vocab=False`` for the
+    exotic case it is not) — then a per-doc mean. Every word is its own
+    key, so the join never misses (smoothing unnecessary).
+    """
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    total = words.count()
+    scored = words.join(vocab, "w")
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.round(F.avg(F.log(F.col("wc") / F.lit(float(total)))), 4)
+                 .alias("lm_score")))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + char count per document."""
     return docs.select(

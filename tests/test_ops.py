@@ -702,3 +702,21 @@ class TestQuotaAndProps:
         assert a != c, "seed must change the kept set"
         with pytest.raises(ValueError, match="positive"):
             per_key_quota(docs, "source", "doc_id", 0)
+
+
+class TestLmScores:
+    def test_lm_score_orders_fluency(self, spark, docs):
+        """A doc of corpus-frequent words must outscore a doc of words
+        that appear nowhere else; scores are <= 0 and parallelism-stable."""
+        from filterz_spark.ops.text import unigram_logprob_scores
+        extra = spark.createDataFrame(
+            [(900001, "the the the the"), (900002, "zzqx1 zzqx2 zzqx3 zzqx4")],
+            ["doc_id", "text"]).withColumn("lang", F.lit("en"))
+        both = docs.select("doc_id", "text", "lang").unionByName(extra)
+        out = {r["doc_id"]: r["lm_score"] for r in
+               unigram_logprob_scores(both).collect()}
+        assert out[900001] > out[900002]
+        assert all(v <= 0 for v in out.values())
+        out2 = {r["doc_id"]: r["lm_score"] for r in
+                unigram_logprob_scores(both.repartition(7)).collect()}
+        assert out == out2
