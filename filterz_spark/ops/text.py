@@ -84,22 +84,31 @@ def unigram_logprob_scores(docs: DataFrame,
     filtering's unigram floor): gibberish and rare-token spam score very
     negative, fluent text near the corpus average.
 
-    Plan: one explode+groupBy builds the vocabulary table (word, count)
-    and one aggregate the total; docs re-join their words against the
-    vocabulary — broadcast by default (a deduplicated unigram vocab is
-    MB-scale even for web corpora; ``broadcast_vocab=False`` for the
-    exotic case it is not) — then a per-doc mean. Every word is its own
-    key, so the join never misses (smoothing unnecessary).
+    Plan: LAZY and ONE corpus scan. Words reduce first to per-(doc, word)
+    counts — one shuffle whose exchange every downstream branch reuses
+    (the vocabulary is its regroup by word, the corpus total a 1-row sum
+    over the vocabulary, never a second scan of documents); doc-word rows
+    then join the vocabulary — broadcast by default (a deduplicated
+    unigram vocab is MB-scale even for web corpora;
+    ``broadcast_vocab=False`` for the exotic case it is not) — and the
+    total rides in as a broadcast 1-row cross join, keeping the whole
+    operator a single lazy plan with no driver-side action. Every word is
+    its own key, so the join never misses (smoothing unnecessary); the
+    per-doc mean is the count-weighted mean over distinct words —
+    identical to the per-occurrence mean.
     """
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+    dwc = words.groupBy("doc_id", "w").agg(F.count("*").alias("dc"))
+    vocab = dwc.groupBy("w").agg(F.sum("dc").alias("wc"))
+    total = vocab.agg(F.sum("wc").cast("double").alias("__total"))
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
-    total = words.count()
-    scored = words.join(vocab, "w")
+    scored = dwc.join(vocab, "w").crossJoin(F.broadcast(total))
     return (scored.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_words"),
-                 F.round(F.avg(F.log(F.col("wc") / F.lit(float(total)))), 4)
+            .agg(F.sum("dc").cast("long").alias("n_words"),
+                 F.round(F.sum(F.col("dc") *
+                               F.log(F.col("wc") / F.col("__total")))
+                         / F.sum("dc"), 4)
                  .alias("lm_score")))
 
 
