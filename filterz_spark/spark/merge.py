@@ -171,28 +171,40 @@ def grouped_sketch_states(df: DataFrame, group_col: str, value_col: str,
                               F.col(value_col).cast("double").alias("v"))
 
     def partial_fn(batches):
+        # Per-row work is ALL vectorized: dictionary-encode the group column
+        # (Arrow C++), argsort the int32 codes (numpy), cut group runs from
+        # the code diffs. Python touches one object per DISTINCT group per
+        # batch — not per row — so a 100-TB rollup's hot partial pass stays
+        # numpy-speed regardless of group cardinality skew. Nulls form their
+        # own group (SQL GROUP BY semantics) via a -1 code.
         sketches: dict = {}
         for batch in batches:
-            gs = batch.column(0).to_pylist()
+            n = batch.num_rows
+            if n == 0:
+                continue
             vs = batch.column(1).to_numpy(zero_copy_only=False)
             if value_kind == "hash":
                 vs = vs.astype(np.int64).view(np.uint64)
             else:
                 vs = vs.astype(np.float64)
-            # null-safe stable grouping order (None is its own group, SQL
-            # GROUP BY semantics; np.argsort on object arrays chokes on None)
-            order = sorted(range(len(gs)), key=lambda i: (gs[i] is None, gs[i] or ""))
-            svs = vs[np.asarray(order, dtype=np.int64)] if gs else vs
-            sgs = [gs[i] for i in order]
-            start = 0
-            for i in range(1, len(sgs) + 1):
-                if i == len(sgs) or sgs[i] != sgs[start]:
-                    sk = sketches.get(sgs[start])
-                    if sk is None:
-                        sk = SKETCH_KINDS[kind].zero(**params)
-                        sketches[sgs[start]] = sk
-                    sk.update(svs[start:i])
-                    start = i
+            denc = batch.column(0).dictionary_encode()
+            codes = (denc.indices.fill_null(-1)
+                     .to_numpy(zero_copy_only=False).astype(np.int64))
+            gvals = denc.dictionary
+            order = np.argsort(codes, kind="stable")
+            scodes = codes[order]
+            svs = vs[order]
+            bounds = np.flatnonzero(np.diff(scodes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            for s, e in zip(starts, ends):
+                c = scodes[s]
+                g = None if c < 0 else gvals[c].as_py()
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = SKETCH_KINDS[kind].zero(**params)
+                    sketches[g] = sk
+                sk.update(svs[s:e])
         state_schema = pa.schema([
             ("g", pa.string()), ("kind", pa.string()),
             ("params", pa.string()), ("payload", pa.binary()),
