@@ -21,7 +21,12 @@ Scale posture: the store-vs-batch collision check is a distributed
 semi-join on the bucket key (the store never leaves executors; at corpus
 scale it is bucketed-by-minhash parquet). Only the BATCH's signatures are
 collected for the greedy pass — a micro-batch is driver-sized by
-definition (same assumption as foreachBatch sketch merging). Replay
+definition (same assumption as foreachBatch sketch merging); KEEP it that
+way by bounding the trigger (``maxFilesPerTrigger`` /
+``maxOffsetsPerTrigger``) on fat sources — the driver collect grows with
+the batch, never with the store. Kept-doc filtering back onto the batch
+is a broadcast semi-join on a created-from-ids DataFrame (never an
+``isin`` literal list, which would grow the PLAN with the batch). Replay
 discipline mirrors ForeachBatchSketcher: at-least-once redeliveries are
 skipped via a batch-id high-watermark tied to a run token, and the store
 append is guarded by recording emitted batch ids — a replayed batch
@@ -135,14 +140,23 @@ class StreamingNearDupDedup:
                 # sees the docs collide with their own stored buckets,
                 # emits nothing, and out already has them from before the
                 # crash. Either way: exactly once.
-                emit = batch_df.filter(F.col("doc_id").isin(list(emit_ids)))
+                # Kept-id filters are broadcast SEMI-JOINS against a
+                # created-from-ids DataFrame, not isin() — a fat batch's
+                # IN-list would bloat the plan (one literal per kept doc)
+                # and serialize through expression parsing; a broadcast
+                # hash relation is O(ids) bytes shipped once per executor.
+                emit_keep = F.broadcast(spark.createDataFrame(
+                    [(int(i),) for i in sorted(emit_ids)], "doc_id long"))
+                emit = batch_df.join(emit_keep, "doc_id", "left_semi")
                 if os.path.exists(self.out_dir):
                     prior = spark.read.parquet(self.out_dir).select("doc_id")
                     emit = emit.join(prior, "doc_id", "left_anti")
                 (emit.withColumn("__batch_id", F.lit(batch_id))
                  .write.mode("append").parquet(self.out_dir))
                 if novel:
-                    (sigs.filter(F.col("doc_id").isin(list(novel)))
+                    novel_keep = F.broadcast(spark.createDataFrame(
+                        [(int(i),) for i in sorted(novel)], "doc_id long"))
+                    (sigs.join(novel_keep, "doc_id", "left_semi")
                      .select("doc_id",
                              F.posexplode("sig").alias("band", "minhash"))
                      .write.mode("append").parquet(self.store_dir))
