@@ -136,6 +136,35 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|real image decode"):
             decode_image_features(media, fake=False).collect()
 
+    def test_custom_decoder_injection(self, spark, docs):
+        """The codec boundary is the decoder= callable: a user-supplied
+        batch decoder replaces the fake codec without touching the
+        operator (API seam, not a boolean gate)."""
+        import numpy as np
+        from filterz_spark.ops.multimodal import (
+            attach_media, decode_image_features, resize_image, RESIZE_SRC)
+        media = attach_media(docs.limit(10))
+
+        def byte_len_decoder(payloads):
+            lens = np.array([len(p.as_py() or b"") for p in payloads],
+                            dtype=np.float32)
+            return np.repeat(lens[:, None], 16, axis=1)
+
+        out = {r["media_id"]: r["features"] for r in
+               decode_image_features(media, decoder=byte_len_decoder).collect()}
+        lens = {r["media_id"]: len(bytes(r["payload"])) for r in
+                media.select("media_id", "payload").collect()}
+        assert out.keys() == lens.keys()
+        for mid, feats in out.items():
+            assert feats == [float(lens[mid])] * 16
+
+        def flat_gray_decoder(payloads):
+            return np.full((len(payloads), RESIZE_SRC * RESIZE_SRC), 7.0)
+
+        px = resize_image(media, out_h=4, out_w=4,
+                          decoder=flat_gray_decoder).collect()
+        assert all(r["pixels"] == [7.0] * 16 for r in px)
+
     def test_resize_box_filter_exact(self, spark, docs):
         """Box resample preserves the source byte sum exactly and is
         parallelism-independent; short payloads are zero-padded."""
