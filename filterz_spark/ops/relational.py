@@ -128,7 +128,19 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
     count. Ties: a right row AT the left row's timestamp wins (sorts
     first), and among equal-timestamp right rows the highest-ordered one
     (input order column appended to the sort) wins deterministically.
+
+    ``value_cols`` must be non-empty and its FIRST column must uniquely
+    identify right rows within a (key, ts) pair (e.g. the right table's id
+    column) — it is the tie-break for equal-timestamp right rows. With a
+    non-unique (or nullable) first value column, which right row annotates
+    the left row is engine-dependent and can change run to run; pass the
+    unique id first and the payload columns after it.
     """
+    if not value_cols:
+        raise ValueError(
+            "asof_join requires at least one value column; the first is "
+            "also the equal-timestamp tie-break and must uniquely identify "
+            "right rows within a (key, ts) pair")
     lcols = [c for c in left.columns]
     # ONE struct carries all right values: last(struct, ignorenulls) picks
     # the latest right ROW atomically — per-column last() would skip a NULL
@@ -232,9 +244,12 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
     That hierarchy is the scale property: raw rows are scanned once for
     the finest resolution; each coarser rollup aggregates the (tiny)
     previous level — at 10^12 events and minute/hour/day levels, the hour
-    and day aggregates shuffle thousands of rows, not the corpus. Sums are
-    exact under re-aggregation (count/sum form a monoid); extend with the
-    sketch layer for distinct/quantile rollups.
+    and day aggregates shuffle thousands of rows, not the corpus. Counts
+    are EXACT under re-aggregation; double sums are associative only up to
+    float rounding (re-aggregating the finer level changes addition order,
+    so coarse sums can differ from a direct aggregate in low-order bits —
+    aggregate a decimal/long value column where bit-exactness matters).
+    Extend with the sketch layer for distinct/quantile rollups.
 
     ``resolutions``: finest first, each a ``date_trunc`` unit.
     """

@@ -87,10 +87,20 @@ class MisraGriesSketch(MergeableSketch):
         return int(self.counters.get(int(key), 0))
 
     def heavy_hitters(self, min_count: int | None = None) -> dict:
-        """keys with estimate >= min_count (default: the N/k guarantee
-        threshold — every item above it is certainly present)."""
-        thr = (self.n // self.k) if min_count is None else min_count
-        return {key: c for key, c in self.counters.items() if c >= thr}
+        """Keys with ESTIMATE >= min_count (default 0: all counters).
+
+        Estimates undercount by at most N/k, so the filter's guarantees
+        are one-sided: every returned key truly has frequency >=
+        min_count (no false positives at the threshold), but a key with
+        true frequency in (min_count, min_count + N/k] can be MISSED —
+        only keys with true frequency > min_count + N/k are certainly
+        returned. Every key with true frequency > N/k is certainly
+        present in the summary itself, which is why the default returns
+        all counters and leaves thresholding (and its one-sided
+        semantics) to the caller."""
+        if min_count is None:
+            return dict(self.counters)
+        return {key: c for key, c in self.counters.items() if c >= min_count}
 
     def error_bound(self) -> int:
         """Maximum undercount: estimates are within [f - N/k, f]."""

@@ -142,6 +142,46 @@ def probe_membership(probe_df: DataFrame, key_col: str,
     return out.drop("__h")
 
 
+# sessions (by applicationId) whose repartition placement has been verified
+# against the pmod(murmur3, P) reproduction below, per partition count
+_ROUTING_VERIFIED: set = set()
+
+
+def _assert_hash_routing(spark, num_partitions: int) -> None:
+    """Fail-fast guard for the cogrouped probe's routing contract.
+
+    The probe reproduces ``repartition(P, col)``'s placement JVM-side as
+    ``pmod(F.hash(col), P)`` — an undocumented Spark internal
+    (HashPartitioning = murmur3 seed 42). If a future Spark changes it,
+    probes would route to the WRONG partition's filter and silently return
+    false negatives instead of erroring. This routes a spread of sentinel
+    hashes through a tiny real repartition and compares actual partition
+    ids against the reproduction — once per session per partition count
+    (~one 8-row job), raising loudly on any mismatch. The equivalence is
+    also pinned per Spark version in tests/test_spark_layer.py.
+    """
+    token = (spark.sparkContext.applicationId, int(num_partitions))
+    if token in _ROUTING_VERIFIED:
+        return
+    sentinels = [-(1 << 63), -1, 0, 1, 42, (1 << 63) - 1,
+                 123456789123456789, -987654321987654321]
+    placed = (spark.createDataFrame([(v,) for v in sentinels], "__h long")
+              .repartition(num_partitions, "__h")
+              .select("__h", F.spark_partition_id().alias("actual"),
+                      F.pmod(F.hash("__h"), F.lit(num_partitions))
+                      .cast("int").alias("expected"))
+              .collect())
+    bad = [(r["__h"], r["actual"], r["expected"])
+           for r in placed if r["actual"] != r["expected"]]
+    if bad:
+        raise AssertionError(
+            "repartition(P, col) no longer places rows at pmod(murmur3(col), "
+            f"P) on this Spark version (mismatches: {bad}); "
+            "probe_membership_cogrouped's routing would return false "
+            "negatives — its placement reproduction must be updated")
+    _ROUTING_VERIFIED.add(token)
+
+
 def probe_membership_cogrouped(probe_df: DataFrame, key_col: str,
                                index_df: DataFrame, num_partitions: int,
                                hit_col: str = "maybe_present") -> DataFrame:
@@ -163,6 +203,7 @@ def probe_membership_cogrouped(probe_df: DataFrame, key_col: str,
     shuffle of the probe side + one tiny shuffle of the index; payloads
     never touch the driver.
     """
+    _assert_hash_routing(probe_df.sparkSession, num_partitions)
     with_hash = probe_df.withColumn("__h", F.xxhash64(key_col))
     targeted = with_hash.withColumn(
         "__pid", F.pmod(F.hash("__h"), F.lit(num_partitions)).cast("int"))
