@@ -141,6 +141,13 @@ static inline uint64_t xorf_pos(uint64_t h, uint64_t hl, uint64_t hh_mask,
            ((hh >> (span * (arity - 1 - j))) & seg_mask);
 }
 
+/* count + xor-of-hashes for one slot, interleaved so both live on the
+ * same cache line (16-byte aligned record; see xorf_attempt) */
+typedef struct {
+    uint64_t mask;
+    uint16_t cnt;
+} xslot_t;
+
 /* One Las-Vegas construction attempt for a given seed.
  * Returns the number of peeled keys; fingerprints are written to fp_out
  * (u64 slots, already masked to fp_bits) ONLY when peeled == n.
@@ -157,26 +164,28 @@ int64_t xorf_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
     int bits = span * arity;
     uint64_t hh_mask = bits >= 64 ? ~0ULL : ((1ULL << bits) - 1);
 
-    /* u16 counts: distinct uniform hashes over alen >= 1.1n slots have a
-     * max per-slot load of O(log n) (~15 in practice) — the narrower array
-     * keeps the peel's random-access working set cache-resident (~20%
-     * faster than u32 at 625k keys) */
-    uint16_t *count = (uint16_t *)calloc((size_t)alen, sizeof(uint16_t));
-    uint64_t *xormask = (uint64_t *)calloc((size_t)alen, sizeof(uint64_t));
+    /* One INTERLEAVED slot record per position: the init scatter and the
+     * peel always touch a slot's count and xormask together, so packing
+     * them into one 16-byte struct halves the random cache-line touches
+     * per position (two arrays = two lines) — these loops are
+     * latency-bound over a multi-MB working set, so touched LINES, not
+     * bytes, set the rate. u16 count is ample: distinct uniform hashes
+     * over alen >= 1.1n slots max out at O(log n) (~15 in practice). */
+    xslot_t *slots = (xslot_t *)calloc((size_t)alen, sizeof(xslot_t));
     /* each slot's count passes through the value 1 at most once (counts
      * only decrement), so <= alen pushes total */
     int64_t *stack = (int64_t *)malloc((size_t)alen * sizeof(int64_t));
     uint64_t *peel_keys = (uint64_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(uint64_t));
     int64_t *peel_pos = (int64_t *)malloc((size_t)(n > 0 ? n : 1) * sizeof(int64_t));
-    if (!count || !xormask || !stack || !peel_keys || !peel_pos) {
-        free(count); free(xormask); free(stack); free(peel_keys); free(peel_pos);
+    if (!slots || !stack || !peel_keys || !peel_pos) {
+        free(slots); free(stack); free(peel_keys); free(peel_pos);
         return -1;
     }
 
     /* software-pipelined init scatter: compute key i+PF's positions and
-     * prefetch their count/xormask lines while scattering key i — the
-     * position math is ~10 ALU ops/key, the random-access latency over the
-     * multi-MB count+xormask working set is what stalls the loop */
+     * prefetch their slot lines while scattering key i — the position
+     * math is ~10 ALU ops/key, the random-access latency over the
+     * multi-MB slot working set is what stalls the loop */
     enum { XORF_PF = 12 };
     for (int64_t i = 0; i < n; i++) {
         if (i + XORF_PF < n) {
@@ -185,34 +194,33 @@ int64_t xorf_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
             for (int j = 0; j < arity; j++) {
                 uint64_t p = xorf_pos(hp, hlp, hh_mask, span, arity, j,
                                       seg_len, seg_mask);
-                __builtin_prefetch(&count[p], 1, 1);
-                __builtin_prefetch(&xormask[p], 1, 1);
+                __builtin_prefetch(&slots[p], 1, 1);
             }
         }
         uint64_t h = murmur_mix(hashes[i], seed);
         uint64_t hl = mulhi64(h, scl);
         for (int j = 0; j < arity; j++) {
             uint64_t p = xorf_pos(h, hl, hh_mask, span, arity, j, seg_len, seg_mask);
-            count[p]++;
-            xormask[p] ^= h;
+            slots[p].cnt++;
+            slots[p].mask ^= h;
         }
     }
 
     int64_t sp = 0;
     for (int64_t i = 0; i < alen; i++)
-        if (count[i] == 1) stack[sp++] = i;
+        if (slots[i].cnt == 1) stack[sp++] = i;
 
     int64_t peeled = 0;
     while (sp > 0) {
         int64_t slot = stack[--sp];
-        if (count[slot] != 1) continue;
-        uint64_t h = xormask[slot]; /* sole remaining key in this slot */
+        if (slots[slot].cnt != 1) continue;
+        uint64_t h = slots[slot].mask; /* sole remaining key in this slot */
         uint64_t hl = mulhi64(h, scl);
         for (int j = 0; j < arity; j++) {
             uint64_t p = xorf_pos(h, hl, hh_mask, span, arity, j, seg_len, seg_mask);
-            xormask[p] ^= h;
-            count[p]--;
-            if ((int64_t)p != slot && count[p] == 1) stack[sp++] = (int64_t)p;
+            slots[p].mask ^= h;
+            slots[p].cnt--;
+            if ((int64_t)p != slot && slots[p].cnt == 1) stack[sp++] = (int64_t)p;
         }
         peel_keys[peeled] = h;
         peel_pos[peeled] = slot;
@@ -234,7 +242,7 @@ int64_t xorf_attempt(const uint64_t *hashes, int64_t n, uint64_t seed,
         }
     }
 
-    free(count); free(xormask); free(stack); free(peel_keys); free(peel_pos);
+    free(slots); free(stack); free(peel_keys); free(peel_pos);
     return peeled;
 }
 

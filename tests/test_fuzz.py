@@ -112,13 +112,13 @@ def test_resize_preserves_byte_sum_for_arbitrary_payloads(payloads):
     """Box-filter resize: sum(pixels) * block_area == sum of the first 256
     payload bytes, exactly, for arbitrary binary payloads."""
     import pyarrow as pa
-    from filterz_spark.ops.multimodal import _resize_fn
+    from filterz_spark.ops.multimodal import _resize_fn, fake_grid_decoder
 
     batch = pa.RecordBatch.from_arrays(
         [pa.array(list(range(len(payloads))), pa.int64()),
          pa.array(payloads, pa.binary())],
         names=["media_id", "payload"])
-    [out] = list(_resize_fn(8, 8, True)([batch]))
+    [out] = list(_resize_fn(8, 8, fake_grid_decoder)([batch]))
     for i, px in enumerate(out.column(1).to_pylist()):
         assert len(px) == 64
         assert sum(px) * 4 == sum(payloads[i][:256])
