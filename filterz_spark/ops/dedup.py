@@ -33,8 +33,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
-    """Word k-gram shingles: (doc_id, shingle) — zero-shuffle per-row expr.
+def shingle_array(k: int = 2, text_col: str = "text"):
+    """Column expression: the word k-gram shingle ARRAY of a text column —
+    the zero-shuffle building block behind ``shingles``.
 
     Built as ``arrays_zip`` of k shifted slices of the word array with one
     ``concat_ws`` per element: a per-SHINGLE slice()+array_join() costs
@@ -45,9 +46,14 @@ def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
     ws = F.split(F.col(text_col), " ")
     n_shingles = F.greatest(F.size(ws) - F.lit(k - 1), F.lit(1))
     shifted = [F.slice(ws, j + 1, n_shingles) for j in range(k)]
-    sh = F.transform(F.arrays_zip(*shifted),
-                     lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return F.transform(F.arrays_zip(*shifted),
+                       lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+
+
+def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
+    """Word k-gram shingles: (doc_id, shingle) — zero-shuffle per-row expr
+    (see ``shingle_array`` for the construction)."""
+    return docs.select("doc_id", F.explode(shingle_array(k, text_col)).alias("shingle"))
 
 
 def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
@@ -220,12 +226,21 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
     ``broadcast_bench=False`` switches to a shuffle join on the shingle —
     for the rare case where the "benchmark" side is itself corpus-sized
     (e.g. cross-corpus decontamination) and would not fit an executor.
+
+    Corpus-side plan: per-doc shingle dedup happens MAP-SIDE
+    (``array_distinct`` on the row's shingle array before the explode) —
+    a ``dropDuplicates(doc_id, shingle)`` would shuffle every corpus
+    shingle (measured 424 MB for a 200k-doc slice; corpus-sized at scale)
+    just to establish a per-row-computable property. The only remaining
+    shuffle is the per-doc aggregate's map-side-combined partials: one
+    row per doc per partition.
     """
     bench_sh = (shingles(bench, k=k).select("shingle").distinct()
                 .withColumn("hit", F.lit(1)))
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    tr = shingles(train, k=k).dropDuplicates(["doc_id", "shingle"])
+    tr = train.select(
+        "doc_id", F.explode(F.array_distinct(shingle_array(k))).alias("shingle"))
     marked = tr.join(bench_sh, "shingle", "left")
     return (marked.groupBy("doc_id")
             .agg(F.count("*").alias("n_shingles"),
