@@ -213,6 +213,17 @@ def _q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
 
 
+def _q_minhash_km_signatures(spark, sf_dir):
+    """Kirsch-Mitzenmacher MinHash family: ONE md5 per shingle, band hash
+    b derived as h1 + b*h2 over the md5's 56-bit halves — 8x fewer md5
+    evaluations than band_md5, which the 10M-doc pipeline rehearsal
+    (BENCH/PIPELINE.md) measured as the most expensive curation stage.
+    Full-value DuckDB twin via identical md5/substring/hex-cast math."""
+    from filterz_spark.ops.dedup import minhash_signatures
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8,
+                              k=2, hash_family="km_md5")
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": _q_lm_scores,
         "decontaminate": _q_decontaminate,
         "minhash_signatures": _q_minhash_signatures,
+        "minhash_km_signatures": _q_minhash_km_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
@@ -898,6 +910,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) GROUP BY doc_id"
         ),
         "minhash_signatures": minhash_sql,
+        "minhash_km_signatures": (
+            f"WITH sh AS ({shingle_sql}), "
+            "h AS (SELECT doc_id, md5(shingle) AS mh FROM sh), "
+            "hh AS (SELECT doc_id, "
+            "CAST(concat('0x', substring(mh, 1, 14)) AS BIGINT) AS h1, "
+            "CAST(concat('0x', substring(mh, 15, 14)) AS BIGINT) AS h2 FROM h) "
+            "SELECT doc_id, band, CAST(min(h1 + band * h2) AS VARCHAR) AS minhash "
+            "FROM hh, (SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
+            "GROUP BY doc_id, band"
+        ),
         "lsh_candidate_pairs": (
             f"WITH sig AS ({minhash_sql}) "
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands "

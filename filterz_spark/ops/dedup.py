@@ -57,12 +57,25 @@ def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
-                             k: int = 2) -> DataFrame:
+                             k: int = 2,
+                             hash_family: str = "band_md5") -> DataFrame:
     """Banded MinHash signature, ONE row per doc: (doc_id, sig array<string>).
 
-    Hash family: md5 of 'band:shingle' — band-salted md5, identical in DuckDB
-    so the full signature is oracle-checkable. minhash = lexicographic min of
-    fixed-width hex = numeric min of the underlying 128-bit value.
+    Hash families (both bit-identical in DuckDB, so fully oracle-checkable):
+
+    - ``band_md5`` (default): md5 of 'band:shingle' — ``num_hashes``
+      independent md5 evaluations per shingle; minhash = lexicographic min
+      of fixed-width hex = numeric min of the underlying 128-bit value.
+    - ``km_md5``: Kirsch-Mitzenmacher double hashing — ONE md5 per shingle
+      split into two 56-bit halves (h1, h2); band b's hash is
+      ``h1 + b*h2`` (numeric min, stringified). The 10M-doc pipeline
+      rehearsal (BENCH/PIPELINE.md) measured the signature pass as the
+      single most expensive curation stage with band_md5's 8 md5s per
+      shingle — km_md5 cuts the md5 count 8x with the standard KM
+      guarantee (Kirsch & Mitzenmacher 2006: two-hash derived families
+      preserve Bloom/MinHash-style error behavior). 56-bit halves keep
+      ``h1 + b*h2`` < 2^61 for num_hashes <= 15 — no int64 overflow under
+      ANSI mode (enforced).
 
     This is the storage/compute form: all ``num_hashes`` band hashes are
     computed as columns of the SAME shingle row and reduced in one
@@ -74,6 +87,24 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
     explode it on demand.
     """
     sh = shingles(docs, k=k)
+    if hash_family == "km_md5":
+        if num_hashes > 15:
+            raise ValueError("km_md5 supports num_hashes <= 15 "
+                             "(56-bit halves keep h1 + b*h2 overflow-free)")
+        hs = (sh.select("doc_id", F.md5("shingle").alias("mh"))
+              .select("doc_id",
+                      F.conv(F.substring("mh", 1, 14), 16, 10)
+                      .cast("long").alias("h1"),
+                      F.conv(F.substring("mh", 15, 14), 16, 10)
+                      .cast("long").alias("h2")))
+        mins = [F.min(F.col("h1") + F.lit(b) * F.col("h2")).alias(f"m{b}")
+                for b in range(num_hashes)]
+        agg = hs.groupBy("doc_id").agg(*mins)
+        return agg.select(
+            "doc_id", F.array(*[F.col(f"m{b}").cast("string")
+                                for b in range(num_hashes)]).alias("sig"))
+    if hash_family != "band_md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     mins = [
         F.min(F.md5(F.concat_ws(":", F.lit(b), F.col("shingle")))).alias(f"m{b}")
         for b in range(num_hashes)
@@ -84,13 +115,14 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
-                       signatures: DataFrame | None = None) -> DataFrame:
+                       signatures: DataFrame | None = None,
+                       hash_family: str = "band_md5") -> DataFrame:
     """Long-format MinHash signature: (doc_id, band, minhash) — the join
     form, an explode of the array form (pass a precomputed/materialized
     ``signatures`` array table to share one signature pass across the
     LSH -> Jaccard -> components pipeline)."""
     arr = signatures if signatures is not None \
-        else minhash_signature_arrays(docs, num_hashes, k)
+        else minhash_signature_arrays(docs, num_hashes, k, hash_family)
     return arr.select("doc_id", F.posexplode("sig").alias("band", "minhash"))
 
 
@@ -98,7 +130,8 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                         max_bucket_size: int | None = 10_000,
                         materialize_signatures: bool = True,
                         signatures: DataFrame | None = None,
-                        pair_strategy: str = "group") -> DataFrame:
+                        pair_strategy: str = "group",
+                        hash_family: str = "band_md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
@@ -136,7 +169,7 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
     if pair_strategy not in ("group", "join"):
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     sig_arr = signatures if signatures is not None \
-        else minhash_signature_arrays(docs, num_hashes, k)
+        else minhash_signature_arrays(docs, num_hashes, k, hash_family)
     if materialize_signatures and signatures is None and pair_strategy == "join":
         # only the self-join duplicates the signature subtree; the group
         # plan scans it exactly once, so materializing there is pure cost

@@ -39,6 +39,28 @@ class TestDedup:
         ).count()
         assert full == 5
 
+    def test_km_family_zero_fn_and_distinct_bands(self, spark, docs):
+        """Kirsch-Mitzenmacher family: identical docs still collide on all
+        bands (h1 + b*h2 is a pure function of the shingle set), the bands
+        are genuinely distinct hash functions (signature entries differ
+        across bands), and num_hashes > 15 is rejected (overflow guard)."""
+        from filterz_spark.ops.dedup import (lsh_candidate_pairs,
+                                             minhash_signature_arrays)
+        clone = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        pairs = lsh_candidate_pairs(docs.unionByName(clone), num_hashes=8,
+                                    k=2, hash_family="km_md5")
+        full = pairs.filter(
+            (F.col("doc_b") == F.col("doc_a") + 1_000_000) & (F.col("n_bands") == 8)
+        ).count()
+        assert full == 5
+        sigs = minhash_signature_arrays(docs.limit(20), num_hashes=8, k=2,
+                                        hash_family="km_md5").collect()
+        assert all(len(set(r["sig"])) > 1 for r in sigs)
+        with pytest.raises(ValueError, match="num_hashes <= 15"):
+            minhash_signature_arrays(docs, num_hashes=16, hash_family="km_md5")
+        with pytest.raises(ValueError, match="unknown hash_family"):
+            minhash_signature_arrays(docs, hash_family="nope")
+
     def test_jaccard_identical_is_one(self, spark, docs):
         from filterz_spark.ops.dedup import ngram_jaccard_pairs
         clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)

@@ -91,14 +91,26 @@ def run(n_docs: int, cores: int) -> dict:
 
     stages: dict[str, dict] = {}
 
+    reps = int(os.environ.get("PIPELINE_BENCH_REPS", "2"))
+
     def measure(name: str, thunk):
+        # best-of-N walls: this host shows ~10x bimodal stalls (see
+        # BENCH/BASELINE.md) — a single sample manufactures phantom
+        # regressions. Shuffle deltas come from the FIRST rep only
+        # (they are deterministic; accumulating reps would multiply them).
         before = _rest_totals(spark)
-        t0 = time.perf_counter()
-        out_rows = thunk()
-        wall = time.perf_counter() - t0
-        after = _rest_totals(spark)
+        samples = []
+        out_rows = None
+        after = before
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out_rows = thunk()
+            samples.append(round(time.perf_counter() - t0, 2))
+            if i == 0:
+                after = _rest_totals(spark)
         stages[name] = {
-            "wall_sec": round(wall, 2),
+            "wall_sec": min(samples),
+            "samples": samples,
             "out_rows": out_rows,
             "shuffle_read_mb": round(
                 (after["shuffle_read"] - before["shuffle_read"]) / 1e6, 1),
@@ -106,7 +118,7 @@ def run(n_docs: int, cores: int) -> dict:
                 (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 1),
             "input_mb": round((after["input"] - before["input"]) / 1e6, 1),
         }
-        print(f"# {name}: {wall:.1f}s rows={out_rows} "
+        print(f"# {name}: {min(samples):.1f}s {samples} rows={out_rows} "
               f"shuffleW={stages[name]['shuffle_write_mb']}MB", file=sys.stderr)
 
     def noop(df) -> int:
