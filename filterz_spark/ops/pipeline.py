@@ -47,25 +47,40 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
         raise ValueError("max_contamination must be in (0, 1]")
     norm = normalize_text(docs, keep_cols=(strata_col,))
 
+    # QUALITY FIRST, fused into the normalize projection. Semantically
+    # identical to filtering after dedup — n_tokens/__dr are pure functions
+    # of norm_text, which is CONSTANT within a dedup group (the group key
+    # IS md5(norm_text)), so a group passes or fails as a whole and the
+    # min-doc_id keep decision is unchanged; decontamination and sampling
+    # key on doc_id and commute with any per-doc filter. Physically it is
+    # the difference between one projection evaluating the normalize chain
+    # once, and Catalyst pushing the quality predicates through the
+    # project by SUBSTITUTION — re-evaluating the full regex/split/
+    # array_distinct chains per input row inside a pre-join Filter
+    # (measured: 99s -> ~30s for the composed count at 1M docs/32c).
+    ws = F.split(F.col("norm_text"), " ")
+    survivors = (norm
+                 .withColumn("n_tokens", F.size(ws).cast("long"))
+                 .withColumn("__dr", F.size(F.array_distinct(ws))
+                             / F.col("n_tokens"))
+                 .filter((F.col("n_tokens") >= min_tokens)
+                         & (F.col("n_tokens") <= max_tokens)
+                         & (F.col("__dr") >= min_distinct_ratio))
+                 .localCheckpoint(eager=False))
+    # the checkpoint is an optimizer barrier: without it the quality
+    # predicates are substituted into BOTH dedup-join branches (norm is
+    # referenced twice), multiplying the normalize-chain evaluations the
+    # reorder just removed. Lazy: materializes on first action.
+
     # exact dedup on normalized content: keep the min doc_id per hash
-    keep = (norm.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))
-    survivors = norm.join(keep, ["norm_hash", "doc_id"], "left_semi")
+    keep = (survivors.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))
+    survivors = survivors.join(keep, ["norm_hash", "doc_id"], "left_semi")
 
     # decontamination on the ORIGINAL text (benchmarks are verbatim)
     contaminated = (ngram_decontaminate(docs, bench, k=k,
                                         min_contamination=max_contamination)
                     .select("doc_id"))
     survivors = survivors.join(contaminated, "doc_id", "left_anti")
-
-    # quality: token window + distinct-ratio floor over normalized words
-    ws = F.split(F.col("norm_text"), " ")
-    survivors = (survivors
-                 .withColumn("n_tokens", F.size(ws).cast("long"))
-                 .withColumn("__dr", F.size(F.array_distinct(ws))
-                             / F.col("n_tokens"))
-                 .filter((F.col("n_tokens") >= min_tokens)
-                         & (F.col("n_tokens") <= max_tokens)
-                         & (F.col("__dr") >= min_distinct_ratio)))
 
     # mixture: the standalone sampling operator, verbatim
     return stratified_sample(survivors, "doc_id", fractions, strata_col,
