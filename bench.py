@@ -157,6 +157,11 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
     timed("dedup_exact", lambda: exact_dedup(docs).count())
     timed("minhash_lsh", lambda: lsh_candidate_pairs(
         docs, 8, 3, materialize_signatures=True).count())
+    # the Kirsch-Mitzenmacher family: ONE md5 per shingle (8x fewer hash
+    # evaluations) — the documented scale choice (BENCH/PIPELINE.md #4)
+    timed("minhash_lsh_km", lambda: lsh_candidate_pairs(
+        docs, 8, 3, materialize_signatures=True,
+        hash_family="km_md5").count())
     qvec = emb.limit(1).select("embedding").collect()[0][0]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
     from filterz_spark.ops.dedup import simhash
