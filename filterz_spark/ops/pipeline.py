@@ -3,13 +3,16 @@ corpus actually runs, as ONE declarative Spark plan.
 
 Stages (each individually oracle-proven elsewhere in this repo):
 
-1. normalize   — dedup-grade canonicalization (ops.text.normalize_text)
+1. normalize + quality — dedup-grade canonicalization
+   (ops.text.normalize_text) fused with the token-count window +
+   distinct-word-ratio floor in ONE projection (quality is a pure
+   function of norm_text, constant within a dedup group, so filtering
+   first is provably identical to filtering after dedup — and avoids
+   Catalyst re-evaluating the normalize chain inside pushed filters)
 2. exact dedup — keep the min doc_id per normalized-content hash
 3. decontaminate — drop docs whose distinct k-gram overlap with the
    (broadcast) benchmark set reaches ``max_contamination``
-4. quality     — token-count window + distinct-word-ratio floor
-   (the repetition filter's cheap form, computed on the normalized text)
-5. mixture     — deterministic per-stratum sampling (md5-threshold)
+4. mixture     — deterministic per-stratum sampling (md5-threshold)
 
 Everything is JVM built-ins plus the already-audited sub-operators: the
 whole pipeline is one Catalyst plan per stage boundary, shuffles only where
