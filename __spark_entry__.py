@@ -209,16 +209,21 @@ def _q_doc_fingerprints(spark, sf_dir):
 
 
 def _q_minhash_signatures(spark, sf_dir):
+    """band_md5 family pinned explicitly — the fully-independent-band
+    variant stays value-oracled even though the library default flipped
+    to the 8x-cheaper km_md5 family in round 5."""
     from filterz_spark.ops.dedup import minhash_signatures
-    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8,
+                              k=2, hash_family="band_md5")
 
 
 def _q_minhash_km_signatures(spark, sf_dir):
-    """Kirsch-Mitzenmacher MinHash family: ONE md5 per shingle, band hash
-    b derived as h1 + b*h2 over the md5's 56-bit halves — 8x fewer md5
-    evaluations than band_md5, which the 10M-doc pipeline rehearsal
-    (BENCH/PIPELINE.md) measured as the most expensive curation stage.
-    Full-value DuckDB twin via identical md5/substring/hex-cast math."""
+    """Kirsch-Mitzenmacher MinHash family (the round-5 DEFAULT): ONE md5
+    per shingle, band hash b derived as h1 + b*h2 over the md5's 56-bit
+    halves — 8x fewer md5 evaluations than band_md5, which the 10M-doc
+    pipeline rehearsal (BENCH/PIPELINE.md) measured as the most expensive
+    curation stage. Full-value DuckDB twin via identical
+    md5/substring/hex-cast math."""
     from filterz_spark.ops.dedup import minhash_signatures
     return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8,
                               k=2, hash_family="km_md5")
@@ -232,11 +237,17 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     """Signature table computed ONCE (array form, materialized) and shared
     by the LSH candidate stage — the corpus-scale shape: signatures are
-    persisted storage, candidates and verification both read them."""
+    persisted storage, candidates and verification both read them. The
+    signature-level pre-filter runs with margin 0 — at threshold 0.1 the
+    cut (0.1) sits below the minimum possible estimate (1/8), so it
+    provably drops nothing here (the filter node still executes; its
+    reduction behavior is gated in tests/test_ops.py and measured in
+    BENCH/PIPELINE.md)."""
     from filterz_spark.ops.dedup import minhash_signature_arrays, ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signature_arrays(docs, num_hashes=8, k=2).localCheckpoint(eager=True)
-    return ngram_jaccard_pairs(docs, k=2, min_jaccard=0.1, signatures=sig)
+    return ngram_jaccard_pairs(docs, k=2, min_jaccard=0.1, signatures=sig,
+                               prefilter_margin=0.0)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -850,6 +861,18 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({shingle_sql}) s, (SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
         f"GROUP BY doc_id, band"
     )
+    # the km_md5 family twin (the round-5 library default): one md5 per
+    # shingle, 56-bit halves, band hash h1 + band*h2 — flat (no WITH) so it
+    # composes as a CTE body in the LSH/Jaccard/cluster oracles
+    minhash_km_sql = (
+        "SELECT doc_id, band, CAST(min(h1 + band * h2) AS VARCHAR) AS minhash "
+        "FROM (SELECT doc_id, "
+        "CAST(concat('0x', substring(md5(shingle), 1, 14)) AS BIGINT) AS h1, "
+        "CAST(concat('0x', substring(md5(shingle), 15, 14)) AS BIGINT) AS h2 "
+        f"FROM ({shingle_sql})) hh, "
+        "(SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
+        "GROUP BY doc_id, band"
+    )
     return {
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
@@ -921,24 +944,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) GROUP BY doc_id"
         ),
         "minhash_signatures": minhash_sql,
-        "minhash_km_signatures": (
-            f"WITH sh AS ({shingle_sql}), "
-            "h AS (SELECT doc_id, md5(shingle) AS mh FROM sh), "
-            "hh AS (SELECT doc_id, "
-            "CAST(concat('0x', substring(mh, 1, 14)) AS BIGINT) AS h1, "
-            "CAST(concat('0x', substring(mh, 15, 14)) AS BIGINT) AS h2 FROM h) "
-            "SELECT doc_id, band, CAST(min(h1 + band * h2) AS VARCHAR) AS minhash "
-            "FROM hh, (SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
-            "GROUP BY doc_id, band"
-        ),
+        "minhash_km_signatures": minhash_km_sql,
         "lsh_candidate_pairs": (
-            f"WITH sig AS ({minhash_sql}) "
+            f"WITH sig AS ({minhash_km_sql}) "
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands "
             "FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash "
             "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id"
         ),
         "ngram_jaccard": (
-            f"WITH sig AS ({minhash_sql}), "
+            f"WITH sig AS ({minhash_km_sql}), "
             "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash "
             "  AND a.doc_id < b.doc_id), "
@@ -1015,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         # component and the closure takes >90min (the SPARK side finishes in
         # seconds; structure cross-checked there with a union-find instead)
         "dedup_clusters": (
-            f"WITH RECURSIVE sig AS ({minhash_sql}), "
+            f"WITH RECURSIVE sig AS ({minhash_km_sql}), "
             "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "
             "  JOIN sig b ON a.band = b.band AND a.minhash = b.minhash "
             "  AND a.doc_id < b.doc_id GROUP BY 1, 2), "

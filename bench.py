@@ -155,13 +155,14 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
     throughput["sketch_rows_per_sec_hll"] = round(n_keys / queries["hll_distinct"])
 
     timed("dedup_exact", lambda: exact_dedup(docs).count())
+    # library default = km_md5 since round 5 (ONE md5 per shingle; the 10M
+    # rehearsal named band_md5's 8 md5s/shingle the pipeline cost center)
     timed("minhash_lsh", lambda: lsh_candidate_pairs(
         docs, 8, 3, materialize_signatures=True).count())
-    # the Kirsch-Mitzenmacher family: ONE md5 per shingle (8x fewer hash
-    # evaluations) — the documented scale choice (BENCH/PIPELINE.md #4)
-    timed("minhash_lsh_km", lambda: lsh_candidate_pairs(
+    # the round-1..4 default, kept as the independent-band comparison point
+    timed("minhash_lsh_band", lambda: lsh_candidate_pairs(
         docs, 8, 3, materialize_signatures=True,
-        hash_family="km_md5").count())
+        hash_family="band_md5").count())
     qvec = emb.limit(1).select("embedding").collect()[0][0]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, 10).collect())
     from filterz_spark.ops.dedup import simhash

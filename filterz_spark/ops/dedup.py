@@ -58,24 +58,38 @@ def shingles(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
 
 def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
                              k: int = 2,
-                             hash_family: str = "band_md5") -> DataFrame:
+                             hash_family: str = "km_md5") -> DataFrame:
     """Banded MinHash signature, ONE row per doc: (doc_id, sig array<string>).
 
     Hash families (both bit-identical in DuckDB, so fully oracle-checkable):
 
-    - ``band_md5`` (default): md5 of 'band:shingle' — ``num_hashes``
-      independent md5 evaluations per shingle; minhash = lexicographic min
-      of fixed-width hex = numeric min of the underlying 128-bit value.
-    - ``km_md5``: Kirsch-Mitzenmacher double hashing — ONE md5 per shingle
-      split into two 56-bit halves (h1, h2); band b's hash is
-      ``h1 + b*h2`` (numeric min, stringified). The 10M-doc pipeline
-      rehearsal (BENCH/PIPELINE.md) measured the signature pass as the
-      single most expensive curation stage with band_md5's 8 md5s per
-      shingle — km_md5 cuts the md5 count 8x with the standard KM
-      guarantee (Kirsch & Mitzenmacher 2006: two-hash derived families
-      preserve Bloom/MinHash-style error behavior). 56-bit halves keep
-      ``h1 + b*h2`` < 2^61 for num_hashes <= 15 — no int64 overflow under
-      ANSI mode (enforced).
+    - ``km_md5`` (DEFAULT since round 5): Kirsch-Mitzenmacher double
+      hashing — ONE md5 per shingle split into two 56-bit halves (h1, h2);
+      band b's hash is ``h1 + b*h2`` (numeric min, stringified). The
+      10M-doc pipeline rehearsal (BENCH/PIPELINE.md) measured the
+      signature pass as the single most expensive curation stage with
+      band_md5's 8 md5s per shingle — km_md5 cuts the md5 count 8x with
+      the standard KM guarantee (Kirsch & Mitzenmacher 2006: two-hash
+      derived families preserve Bloom/MinHash-style error behavior).
+      56-bit halves keep ``h1 + b*h2`` < 2^61 for num_hashes <= 15 — no
+      int64 overflow under ANSI mode (enforced).
+    - ``band_md5`` (the round-1..4 default): md5 of 'band:shingle' —
+      ``num_hashes`` independent md5 evaluations per shingle; minhash =
+      lexicographic min of fixed-width hex = numeric min of the underlying
+      128-bit value. Kept for fully-independent band hashes and for
+      signature stores written by earlier rounds (the two families'
+      signatures are NOT comparable — never mix them in one store).
+    - ``km_xxh``: same KM construction over JVM ``xxhash64(shingle, salt)``
+      instead of md5 — no hex-string materialization, ~4x less hash
+      compute on the DRAM-bound signature pass. NOT DuckDB-reproducible
+      (DuckDB has no xxhash64), so it carries no value oracle; set
+      semantics (identical dedup decisions) are gated in tests/test_ops.py
+      against the md5 families.
+
+    CHANGED in round 5: the default flipped from ``band_md5`` to
+    ``km_md5`` — the builder's own rehearsal identified the 8-md5/shingle
+    signature pass as the pipeline cost center. Pin ``band_md5``
+    explicitly to reproduce round-1..4 signatures.
 
     This is the storage/compute form: all ``num_hashes`` band hashes are
     computed as columns of the SAME shingle row and reduced in one
@@ -87,16 +101,25 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
     explode it on demand.
     """
     sh = shingles(docs, k=k)
-    if hash_family == "km_md5":
+    if hash_family in ("km_md5", "km_xxh"):
         if num_hashes > 15:
-            raise ValueError("km_md5 supports num_hashes <= 15 "
+            raise ValueError(f"{hash_family} supports num_hashes <= 15 "
                              "(56-bit halves keep h1 + b*h2 overflow-free)")
-        hs = (sh.select("doc_id", F.md5("shingle").alias("mh"))
-              .select("doc_id",
-                      F.conv(F.substring("mh", 1, 14), 16, 10)
-                      .cast("long").alias("h1"),
-                      F.conv(F.substring("mh", 15, 14), 16, 10)
-                      .cast("long").alias("h2")))
+        if hash_family == "km_md5":
+            hs = (sh.select("doc_id", F.md5("shingle").alias("mh"))
+                  .select("doc_id",
+                          F.conv(F.substring("mh", 1, 14), 16, 10)
+                          .cast("long").alias("h1"),
+                          F.conv(F.substring("mh", 15, 14), 16, 10)
+                          .cast("long").alias("h2")))
+        else:
+            # two independent 56-bit hashes straight from the JVM xxhash64
+            # kernel (salted second draw) — no hex-string round trip
+            mask = F.lit((1 << 56) - 1)
+            hs = sh.select(
+                "doc_id",
+                F.xxhash64("shingle").bitwiseAND(mask).alias("h1"),
+                F.xxhash64("shingle", F.lit(1)).bitwiseAND(mask).alias("h2"))
         mins = [F.min(F.col("h1") + F.lit(b) * F.col("h2")).alias(f"m{b}")
                 for b in range(num_hashes)]
         agg = hs.groupBy("doc_id").agg(*mins)
@@ -116,7 +139,7 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                        signatures: DataFrame | None = None,
-                       hash_family: str = "band_md5") -> DataFrame:
+                       hash_family: str = "km_md5") -> DataFrame:
     """Long-format MinHash signature: (doc_id, band, minhash) — the join
     form, an explode of the array form (pass a precomputed/materialized
     ``signatures`` array table to share one signature pass across the
@@ -131,7 +154,7 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                         materialize_signatures: bool = True,
                         signatures: DataFrame | None = None,
                         pair_strategy: str = "group",
-                        hash_family: str = "band_md5") -> DataFrame:
+                        hash_family: str = "km_md5") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
 
     The equi-join on the bucket key is the scale move: no all-pairs shuffle,
@@ -215,15 +238,42 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, k: int = 2,
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
                         num_hashes: int = 8,
                         signatures: DataFrame | None = None,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        prefilter_margin: float | None = None,
+                        hash_family: str = "km_md5") -> DataFrame:
     """Exact k-gram Jaccard for LSH candidate pairs (verification stage).
 
     (doc_a, doc_b, jaccard) for candidates with jaccard >= min_jaccard.
     Pass ``signatures`` (array form) and/or ``candidates`` to reuse work
-    already done by an upstream LSH stage instead of recomputing it."""
+    already done by an upstream LSH stage instead of recomputing it.
+
+    ``prefilter_margin`` (opt-in): signature-level pre-filter BEFORE the
+    exact shingle-set join. The LSH stage's ``n_bands`` column is the
+    number of matching MinHash positions, so ``n_bands / num_hashes`` is
+    the unbiased MinHash Jaccard estimate — a FREE per-pair filter (no
+    extra join, no extra hash) that drops candidates whose estimate sits
+    below ``min_jaccard - prefilter_margin``. The 10M rehearsal produced
+    757M LSH candidates; exactly verifying all of them is the next wall
+    at corpus scale, and most collide on 1 band out of many. The margin
+    bounds the estimator's noise: with H hashes the estimate of a true-J
+    pair is Binomial(H, J)/H, so P(drop a pair with J >= min_jaccard) <=
+    exp(-2*H*margin^2) (Hoeffding) — e.g. H=16, margin=0.4 -> <= 0.6%
+    per borderline pair, and 0 for pairs whose estimate cannot reach the
+    cut. None (default) disables the filter: exact verification of every
+    candidate, the oracle-entry regime. Requires candidates to carry
+    ``n_bands`` (lsh_candidate_pairs always emits it)."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, num_hashes=num_hashes, k=k,
-                                         signatures=signatures)
+                                         signatures=signatures,
+                                         hash_family=hash_family)
+    if prefilter_margin is not None:
+        if "n_bands" not in candidates.columns:
+            raise ValueError("prefilter_margin requires candidates with an "
+                             "n_bands column (as emitted by "
+                             "lsh_candidate_pairs)")
+        cut = min_jaccard - prefilter_margin
+        candidates = candidates.filter(
+            F.col("n_bands") / F.lit(float(num_hashes)) >= cut)
     cand = candidates.select("doc_a", "doc_b")
     sets = (
         shingles(docs, k=k).groupBy("doc_id")
@@ -245,7 +295,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
 
 def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
                         min_contamination: float = 0.0,
-                        broadcast_bench: bool = True) -> DataFrame:
+                        broadcast_bench: bool = True,
+                        shingle_key: str = "string") -> DataFrame:
     """Benchmark decontamination: per train doc, what fraction of its
     distinct k-gram shingles appears in ANY benchmark document —
     (doc_id, n_shingles, contaminated_n, contamination).
@@ -260,6 +311,18 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
     for the rare case where the "benchmark" side is itself corpus-sized
     (e.g. cross-corpus decontamination) and would not fit an executor.
 
+    ``shingle_key`` picks the join-key representation:
+
+    - ``"string"`` (default): the raw shingle text — exact set semantics,
+      DuckDB-reproducible (the oracle mode).
+    - ``"xxhash64"``: join on the JVM ``xxhash64`` of the shingle — the
+      scale mode. Cuts the broadcast relation to 8 bytes/shingle and the
+      probe-side compare to an int64 (the 10M rehearsal showed this stage
+      DRAM-bound on hash-over-strings); a 64-bit collision can mark one
+      extra shingle contaminated (P ~ n_bench_shingles * n_doc_shingles /
+      2^64 per doc — vanishing), so it is OPT-IN and equivalence of
+      contamination DECISIONS on seeded data is gated in tests/test_ops.py.
+
     Corpus-side plan: per-doc shingle dedup happens MAP-SIDE
     (``array_distinct`` on the row's shingle array before the explode) —
     a ``dropDuplicates(doc_id, shingle)`` would shuffle every corpus
@@ -268,12 +331,17 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, k: int = 3,
     shuffle is the per-doc aggregate's map-side-combined partials: one
     row per doc per partition.
     """
-    bench_sh = (shingles(bench, k=k).select("shingle").distinct()
-                .withColumn("hit", F.lit(1)))
-    if broadcast_bench:
-        bench_sh = F.broadcast(bench_sh)
+    if shingle_key not in ("string", "xxhash64"):
+        raise ValueError(f"unknown shingle_key {shingle_key!r}")
+    bench_sh = shingles(bench, k=k).select("shingle")
     tr = train.select(
         "doc_id", F.explode(F.array_distinct(shingle_array(k))).alias("shingle"))
+    if shingle_key == "xxhash64":
+        bench_sh = bench_sh.select(F.xxhash64("shingle").alias("shingle"))
+        tr = tr.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    bench_sh = bench_sh.distinct().withColumn("hit", F.lit(1))
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     marked = tr.join(bench_sh, "shingle", "left")
     return (marked.groupBy("doc_id")
             .agg(F.count("*").alias("n_shingles"),

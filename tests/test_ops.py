@@ -61,6 +61,78 @@ class TestDedup:
         with pytest.raises(ValueError, match="unknown hash_family"):
             minhash_signature_arrays(docs, hash_family="nope")
 
+    def test_default_family_is_km(self, spark, docs):
+        """Round-5 default flip: the no-arg signature table must equal the
+        explicit km_md5 table (the rehearsal-identified scale choice), not
+        band_md5."""
+        from filterz_spark.ops.dedup import minhash_signature_arrays
+        d = docs.limit(20)
+        default = {(r["doc_id"], tuple(r["sig"])) for r in
+                   minhash_signature_arrays(d).collect()}
+        km = {(r["doc_id"], tuple(r["sig"])) for r in
+              minhash_signature_arrays(d, hash_family="km_md5").collect()}
+        band = {(r["doc_id"], tuple(r["sig"])) for r in
+                minhash_signature_arrays(d, hash_family="band_md5").collect()}
+        assert default == km and default != band
+
+    def test_km_xxh_family_matches_md5_decisions(self, spark, docs):
+        """The engine-hash family (km_xxh, no DuckDB twin) must make the
+        SAME dedup decisions as the oracle-mode md5 families on seeded
+        near-dup data: docs perturbed in one trailing word (J ~ 0.96)
+        verify to the identical final pair set at min_jaccard=0.9 under
+        all three families, and exact clones collide on every band."""
+        from filterz_spark.ops.dedup import (lsh_candidate_pairs,
+                                             ngram_jaccard_pairs)
+        base = docs.limit(30)
+        near = base.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+                   .withColumn("text", F.concat("text", F.lit(" zzqq")))
+        corpus = base.unionByName(near)
+        finals = {}
+        for fam in ("band_md5", "km_md5", "km_xxh"):
+            pairs = ngram_jaccard_pairs(
+                corpus, k=2, min_jaccard=0.9, num_hashes=8,
+                candidates=lsh_candidate_pairs(corpus, 8, 2, hash_family=fam))
+            finals[fam] = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        expected = {(r["doc_id"], r["doc_id"] + 1_000_000)
+                    for r in base.select("doc_id").collect()}
+        assert finals["band_md5"] >= expected
+        assert finals["band_md5"] == finals["km_md5"] == finals["km_xxh"]
+
+    def test_jaccard_prefilter_identity_and_reduction(self, spark, docs):
+        """Signature-level pre-filter: identical final pairs at the
+        verification threshold, with the exact-verify workload cut by the
+        free n_bands/num_hashes estimate. Margin 0.15 at threshold 0.9
+        keeps every pair whose estimate can reach 0.75 (>= 6 of 8 bands) —
+        on this corpus all true >= 0.9 pairs sit at n_bands >= 6 while the
+        bulk of LSH candidates collide on 1-3 bands."""
+        from filterz_spark.ops.dedup import (lsh_candidate_pairs,
+                                             ngram_jaccard_pairs)
+        cand = lsh_candidate_pairs(docs, 8, 2).cache()
+        try:
+            n_all = cand.count()
+            n_kept = cand.filter(F.col("n_bands") / 8.0 >= 0.75).count()
+            assert n_kept * 3 < n_all  # the verify workload shrank >= 3x
+            full = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(
+                docs, k=2, min_jaccard=0.9, candidates=cand).collect()}
+            pre = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(
+                docs, k=2, min_jaccard=0.9, candidates=cand,
+                prefilter_margin=0.15).collect()}
+            assert pre == full and full
+            # entry regime (threshold 0.1, margin 0): cut 0.1 < 1/8 — the
+            # prefilter provably drops nothing, plumbing exercised
+            e_full = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(
+                docs, k=2, min_jaccard=0.1, candidates=cand).collect()}
+            e_pre = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(
+                docs, k=2, min_jaccard=0.1, candidates=cand,
+                prefilter_margin=0.0).collect()}
+            assert e_pre == e_full
+        finally:
+            cand.unpersist()
+        with pytest.raises(ValueError, match="n_bands"):
+            ngram_jaccard_pairs(docs, k=2, min_jaccard=0.5,
+                                candidates=cand.select("doc_a", "doc_b"),
+                                prefilter_margin=0.1)
+
     def test_jaccard_identical_is_one(self, spark, docs):
         from filterz_spark.ops.dedup import ngram_jaccard_pairs
         clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
@@ -249,6 +321,19 @@ class TestRepetitionAndDecontamination:
         c2 = {x["doc_id"]: x["contamination"] for x in
               ngram_decontaminate(train, bench, broadcast_bench=False).collect()}
         assert c2 == {1: 1.0, 2: 0.0}
+        with pytest.raises(ValueError, match="unknown shingle_key"):
+            ngram_decontaminate(train, bench, shingle_key="md5")
+
+    def test_decontaminate_xxhash64_key_matches_string(self, spark, docs):
+        """The scale mode (join on xxhash64(shingle), 8-byte broadcast
+        entries) must make IDENTICAL contamination decisions — row-for-row
+        equal output incl. counts — to the oracle-mode string join."""
+        from filterz_spark.ops.dedup import ngram_decontaminate
+        train = docs.filter("doc_id % 50 != 0")
+        bench = docs.filter("doc_id % 50 = 0")
+        s = ngram_decontaminate(train, bench, k=3)
+        x = ngram_decontaminate(train, bench, k=3, shingle_key="xxhash64")
+        assert s.exceptAll(x).count() == 0 and x.exceptAll(s).count() == 0
 
     # (broadcast-plan gate lives in test_plans.py::
     # test_decontaminate_benchmark_is_broadcast, which also covers the
@@ -367,6 +452,29 @@ class TestCurationPipeline:
         from filterz_spark.ops.pipeline import curate_training_set
         with pytest.raises(ValueError, match="at least one stratum"):
             curate_training_set(docs, docs.limit(1), {})
+
+    def test_barrier_modes_identical(self, spark, docs, tmp_path):
+        """Every barrier mechanism (executor-local checkpoint / reliable
+        checkpoint / DISK_ONLY persist) yields the same curated rows — the
+        durability choice is operational, never semantic."""
+        from filterz_spark.ops.pipeline import curate_training_set
+        bench = docs.filter("doc_id % 50 = 0")
+        args = (docs, bench, {"en": 1.0, "de": 1.0})
+
+        def rows(**kw):
+            return {tuple(r) for r in
+                    curate_training_set(*args, **kw).collect()}
+
+        base = rows()
+        assert base
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        assert rows(barrier="reliable") == base
+        # persist mode: the KB-sized projected survivor cache is left
+        # registered by design (the documented caller contract) — not
+        # clearCache()d here, which would evict the module's docs fixture
+        assert rows(barrier="persist") == base
+        with pytest.raises(ValueError, match="unknown barrier"):
+            curate_training_set(*args, barrier="none")
 
 
 class TestSamplingAndNormalization:

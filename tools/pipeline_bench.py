@@ -132,8 +132,21 @@ def run(n_docs: int, cores: int) -> dict:
         norm.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")).count()))
     measure("decontaminate", lambda: (
         ngram_decontaminate(docs, bench, k=3, min_contamination=0.2).count()))
+    # the round-5 scale mode: 8-byte xxhash64 join keys for the broadcast
+    # shingle set (identical decisions gated in tests/test_ops.py)
+    measure("decontaminate_xxh", lambda: (
+        ngram_decontaminate(docs, bench, k=3, min_contamination=0.2,
+                            shingle_key="xxhash64").count()))
+    # default = km_md5 since round 5 (1 md5/shingle); band_md5 kept as the
+    # round-1..4 comparison leg so the default-flip delta stays measured
     sigs = minhash_signature_arrays(docs, num_hashes=8, k=2)
     measure("minhash_signatures", lambda: noop(sigs))
+    measure("minhash_signatures_band", lambda: noop(
+        minhash_signature_arrays(docs, num_hashes=8, k=2,
+                                 hash_family="band_md5")))
+    measure("minhash_signatures_xxh", lambda: noop(
+        minhash_signature_arrays(docs, num_hashes=8, k=2,
+                                 hash_family="km_xxh")))
     measure("lsh_candidate_pairs", lambda: (
         lsh_candidate_pairs(docs, num_hashes=8, k=2).count()))
 
@@ -146,6 +159,32 @@ def run(n_docs: int, cores: int) -> dict:
     print(f"# bucket skew: max={skew['max_bucket']} avg={skew['avg_bucket']}",
           file=sys.stderr)
 
+    # ---- signature-level pre-filter on the exact-verify stage ----
+    # the candidate count entering exact n-gram verification, with and
+    # without the free n_bands/num_hashes Jaccard-estimate cut (threshold
+    # 0.8, margin 0.3 -> keep estimate >= 0.5, i.e. n_bands >= 4 of 8);
+    # the drop factor is what the verify stage's cost scales by
+    from filterz_spark.ops.dedup import ngram_jaccard_pairs
+    cand = lsh_candidate_pairs(docs, num_hashes=8, k=2,
+                               signatures=sigs).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    n_kept = cand.filter(F.col("n_bands") / 8.0 >= 0.5).count()
+    prefilter = {"candidates": n_cand, "after_prefilter": n_kept,
+                 "drop_factor": round(n_cand / max(n_kept, 1), 1)}
+    print(f"# prefilter: {n_cand} -> {n_kept} candidates "
+          f"({prefilter['drop_factor']}x fewer exactly-verified pairs)",
+          file=sys.stderr)
+    if n_docs <= 2_000_000:
+        # exact-verify walls only at rehearsal scales where verify-all is
+        # feasible at all (the point of the prefilter is that it is NOT at
+        # corpus scale); both legs reuse the same checkpointed candidates
+        measure("jaccard_verify_all", lambda: ngram_jaccard_pairs(
+            docs, k=2, min_jaccard=0.8, candidates=cand).count())
+        measure("jaccard_verify_prefiltered", lambda: ngram_jaccard_pairs(
+            docs, k=2, min_jaccard=0.8, candidates=cand,
+            prefilter_margin=0.3).count())
+    cand.unpersist()
+
     # ---- the composed single-plan pipeline ----
     measure("curate_composed", lambda: (
         curate_training_set(docs, bench, FRACTIONS).count()))
@@ -153,6 +192,7 @@ def run(n_docs: int, cores: int) -> dict:
     total_wall = sum(s["wall_sec"] for s in stages.values())
     out = {
         "n_docs": n_docs, "cores": cores, "stages": stages, "skew": skew,
+        "prefilter": prefilter,
         "composed_docs_per_sec": int(n_docs / stages["curate_composed"]["wall_sec"]),
         "total_wall_sec": round(total_wall, 2),
     }
