@@ -37,7 +37,8 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
                         min_tokens: int = 5, max_tokens: int = 100_000,
                         min_distinct_ratio: float = 0.3,
                         strata_col: str = "lang",
-                        seed: str = "42") -> DataFrame:
+                        seed: str = "42",
+                        barrier: str = "local") -> DataFrame:
     """(doc_id, lang, n_tokens) — the curated training set.
 
     ``fractions``: per-stratum keep probabilities (strata absent from the
@@ -45,9 +46,38 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
     ``max_contamination`` must be > 0: the decontamination stage drops docs
     AT or above the threshold, so 0.0 would drop every doc including fully
     clean ones (contamination 0.0) — rejected loudly instead.
+
+    ``barrier`` picks the optimizer-barrier mechanism between the quality
+    projection and the dedup double-reference (see the inline comment for
+    WHY a barrier exists at all). All three produce identical rows:
+
+    - ``"local"`` (default): ``localCheckpoint(eager=False)`` — cheapest
+      (executor-local storage, no extra job), but it TRUNCATES lineage:
+      losing an executor after materialization makes its blocks
+      unrecoverable and kills the job. Fine on a stable single-app
+      cluster or local mode; NOT for preemptible/spot fleets.
+    - ``"reliable"``: ``checkpoint(eager=False)`` to the session's
+      checkpoint dir (``spark.sparkContext.setCheckpointDir`` must have
+      been called — e.g. an HDFS/S3 path at cluster scale). Survives
+      executor loss; costs one write+read of the projected survivor rows
+      (doc_id, strata, hash, count — NOT the corpus text, see below).
+    - ``"persist"``: ``persist(DISK_ONLY)`` — lineage is KEPT, so an
+      executor loss triggers recompute instead of failure, and nothing
+      is written outside Spark's block store. The cached plan stays
+      registered until the caller unpersists it (``df.unpersist()`` on
+      the returned frame's source is not reachable — call
+      ``spark.catalog.clearCache()`` after the terminal action, or reuse
+      the session's cache across calls deliberately).
+
+    The barrier input is PROJECTED to (doc_id, strata, norm_hash,
+    n_tokens) first — norm_text and the quality ratio are consumed by the
+    filter and never read downstream, so the materialized/persisted state
+    is a few dozen bytes per surviving doc, not the normalized corpus.
     """
     if not 0.0 < max_contamination <= 1.0:
         raise ValueError("max_contamination must be in (0, 1]")
+    if barrier not in ("local", "reliable", "persist"):
+        raise ValueError(f"unknown barrier {barrier!r}")
     norm = normalize_text(docs, keep_cols=(strata_col,))
 
     # QUALITY FIRST, fused into the normalize projection. Semantically
@@ -69,11 +99,26 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
                  .filter((F.col("n_tokens") >= min_tokens)
                          & (F.col("n_tokens") <= max_tokens)
                          & (F.col("__dr") >= min_distinct_ratio))
-                 .localCheckpoint(eager=False))
-    # the checkpoint is an optimizer barrier: without it the quality
-    # predicates are substituted into BOTH dedup-join branches (norm is
-    # referenced twice), multiplying the normalize-chain evaluations the
-    # reorder just removed. Lazy: materializes on first action.
+                 # project BEFORE the barrier: norm_text/__dr are consumed
+                 # by the filter above and read by nothing downstream
+                 # (dedup keys on norm_hash+doc_id, output on
+                 # doc_id/strata/n_tokens) — column pruning cannot cross a
+                 # barrier, so without this select the barrier would pin
+                 # the full normalized corpus text in storage
+                 .select("doc_id", strata_col, "norm_hash", "n_tokens"))
+    # the barrier is an optimizer barrier: without it the quality
+    # predicates are substituted into BOTH dedup-join branches (survivors
+    # is referenced twice), re-evaluating the normalize chain per row
+    # inside pushed filters (measured 5.2x on the composed pipeline at
+    # 10M docs — BENCH/PIPELINE.md). All modes are lazy/no-op until the
+    # first action.
+    if barrier == "local":
+        survivors = survivors.localCheckpoint(eager=False)
+    elif barrier == "reliable":
+        survivors = survivors.checkpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+        survivors = survivors.persist(StorageLevel.DISK_ONLY)
 
     # exact dedup on normalized content: keep the min doc_id per hash
     keep = (survivors.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))

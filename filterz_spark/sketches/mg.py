@@ -89,6 +89,12 @@ class MisraGriesSketch(MergeableSketch):
     def heavy_hitters(self, min_count: int | None = None) -> dict:
         """Keys with ESTIMATE >= min_count (default 0: all counters).
 
+        CHANGED in round 4 (unversioned library — this docstring is the
+        changelog): the default used to apply the N/k threshold; it now
+        returns ALL counters (up to k-1 keys, including low-estimate
+        noise). Callers that relied on the old default should pass
+        ``min_count=self.n // self.k`` explicitly.
+
         Estimates undercount by at most N/k, so the filter's guarantees
         are one-sided: every returned key truly has frequency >=
         min_count (no false positives at the threshold), but a key with

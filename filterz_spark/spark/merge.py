@@ -108,10 +108,14 @@ def tree_merge(states: DataFrame, fanin: int = 32,
     if num_states_hint is not None:
         n = num_states_hint
     else:
-        # JVM-side partition count of the planned query — unlike `.rdd`,
-        # this never builds the python-serialized RDD wrapper (it only
-        # plans, which the merge job would do anyway)
-        n = states._jdf.queryExecution().toRdd().getNumPartitions()
+        try:
+            # JVM-side partition count of the planned query — unlike `.rdd`,
+            # this never builds the python-serialized RDD wrapper (it only
+            # plans, which the merge job would do anyway). Private API: a
+            # Spark version bump may remove it, hence the public fallback.
+            n = states._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n = states.rdd.getNumPartitions()
     cur = states
     divisor = fanin
     while n > fanin:

@@ -202,6 +202,11 @@ def probe_membership_cogrouped(probe_df: DataFrame, key_col: str,
     bound (the OR-probe's ~S*p aggregate FPR does not apply). Cost: one
     shuffle of the probe side + one tiny shuffle of the index; payloads
     never touch the driver.
+
+    NOTE: the first call per (session, num_partitions) runs an EAGER 8-row
+    Spark job (the fail-fast routing-contract guard below) even though the
+    returned plan is lazy — plan construction therefore needs a live
+    cluster, unlike the purely-lazy broadcast/handle strategies.
     """
     _assert_hash_routing(probe_df.sparkSession, num_partitions)
     with_hash = probe_df.withColumn("__h", F.xxhash64(key_col))

@@ -72,7 +72,8 @@ class StreamingNearDupDedup:
     """
 
     def __init__(self, base_dir: str, num_hashes: int = 8, k: int = 2,
-                 run_token: str | None = None) -> None:
+                 run_token: str | None = None,
+                 max_batch_rows: int = 5_000_000) -> None:
         self.base_dir = base_dir
         self.store_dir = os.path.join(base_dir, "store")
         self.out_dir = os.path.join(base_dir, "novel")
@@ -80,6 +81,11 @@ class StreamingNearDupDedup:
         self.num_hashes = num_hashes
         self.k = k
         self.run_token = run_token
+        # loud guard on the driver-sized-micro-batch assumption: the
+        # within-batch greedy pass collects one signature row per doc, so
+        # a fat batch would otherwise become a SILENT driver OOM. Sized
+        # for ~1 KB/row -> a few GB of driver heap at the default.
+        self.max_batch_rows = max_batch_rows
         os.makedirs(base_dir, exist_ok=True)
 
     # NOTE: the (run_token, last_batch_id, atomic tmp+rename) replay guard
@@ -109,6 +115,17 @@ class StreamingNearDupDedup:
         sigs = minhash_signature_arrays(batch_df, self.num_hashes, self.k) \
             .localCheckpoint(eager=True)
         try:
+            n_sig = sigs.count()  # metadata-cheap: sigs is checkpointed
+            if n_sig > self.max_batch_rows:
+                raise RuntimeError(
+                    f"micro-batch has {n_sig} signature rows > "
+                    f"max_batch_rows={self.max_batch_rows}: the within-batch "
+                    "greedy pass collects the BATCH's signatures to the "
+                    "driver (the store never leaves executors). Bound the "
+                    "trigger on the source (maxFilesPerTrigger / "
+                    "maxOffsetsPerTrigger) so micro-batches stay "
+                    "driver-sized, or raise max_batch_rows with matching "
+                    "driver memory.")
             # distributed store-collision check: only COLLIDED batch ids
             # come back to the driver, the store itself never does
             exploded = sigs.select(

@@ -428,3 +428,25 @@ class TestPackedSource:
                 keys, "key", "xorf", {"arity": 3, "fp_bits": 16}, 4))
             hits = probe_membership(keys, "key", idx)
             assert hits.filter("maybe_present").count() == 300  # zero FN
+
+
+class TestTreeMergePartitionCount:
+    def test_public_fallback_when_private_path_breaks(self, spark, pages):
+        """tree_merge's partition count reads a PRIVATE Spark API
+        (_jdf.queryExecution().toRdd()); a version bump removing it must
+        degrade to the public .rdd.getNumPartitions(), not crash — gated
+        by proxying the states frame so only the private attribute dies."""
+
+        class BrokenPrivateApi:
+            def __init__(self, df):
+                object.__setattr__(self, "_df", df)
+
+            def __getattr__(self, name):
+                if name == "_jdf":
+                    raise AttributeError("private API removed")
+                return getattr(self._df, name)
+
+        states = partial_states(pages.repartition(4), "url", "hll", {"p": 12})
+        want = tree_merge(states).estimate()
+        got = tree_merge(BrokenPrivateApi(states)).estimate()
+        assert got == want

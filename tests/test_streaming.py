@@ -349,3 +349,26 @@ def test_streaming_neardup_null_text_docs_pass_through(spark):
         assert stored == {1, 3}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_overfat_batch_raises_loudly(spark):
+    """The driver-sized-micro-batch assumption is GUARDED: a batch with
+    more signature rows than max_batch_rows must raise with the
+    trigger-bounding guidance, not silently OOM the driver — and the
+    failed batch must be neither emitted nor recorded as applied."""
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndcap_")
+    try:
+        dd = StreamingNearDupDedup(os.path.join(base, "state"),
+                                   run_token="t", max_batch_rows=2)
+        batch = spark.createDataFrame(
+            [(i, f"document number {i} words") for i in range(5)],
+            "doc_id long, text string")
+        with pytest.raises(RuntimeError, match="maxFilesPerTrigger"):
+            dd(batch, 0)
+        assert not os.path.exists(dd.out_dir)
+        assert dd._load_meta() == -1  # batch not recorded: a re-trigger
+        # with a bounded source can still apply batch 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
