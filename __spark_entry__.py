@@ -455,6 +455,16 @@ def _q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def _q_simhash_near_pairs(spark, sf_dir):
+    """Pigeonhole SimHash near-dup pairs (hamming <= 3) — a FULL-VALUE
+    oracle: the 60-bit simhash is md5-derived (bit-identical in DuckDB),
+    the 4-block pigeonhole guarantees recall 1 at the threshold, and the
+    exact hamming check makes the output independent of which block
+    collided — so the SQL twin reproduces the identical pair set."""
+    from filterz_spark.ops.dedup import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     """LSH ANN in its provable-recall-1 regime: multiprobe >= num_planes
     probes every bucket, so the result must equal the exact top-k (the
@@ -768,7 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
-        "bpe_token_counts": _q_bpe_token_counts,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "stratified_sample": _q_stratified_sample,
         "curated_training_set": _q_curated_training_set,
         "normalized_docs": _q_normalized_docs,
@@ -802,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _q_rolling_fingerprints,
         "ann_lsh_topk": _q_ann_lsh_topk,
         # --- position 51+ (outside the driver's 50-entry window) ---
+        "bpe_token_counts": _q_bpe_token_counts,
         "token_counts": _q_token_counts,
         "events_hourly": _q_events_hourly,
         "event_props": _q_event_props,
@@ -1084,6 +1095,20 @@ def oracle_sql() -> dict[str, str]:
         # full-value oracles: simhash and rolling fingerprints are md5-based
         # JVM computations with bit-identical DuckDB twins
         "simhash_docs": _dedup.simhash_sql("documents"),
+        # pigeonhole blocks (4 x 15 bits of the 60-bit simhash), bucket
+        # self-join, exact hamming filter — the same plan shape as Spark's
+        "simhash_near_pairs": (
+            f"WITH sim AS ({_dedup.simhash_sql('documents')}), "
+            "blocks AS (SELECT doc_id, simhash, q, "
+            "(simhash >> (15 * q)) & 32767 AS bucket "
+            "FROM sim, (SELECT CAST(i AS INT) AS q FROM range(0, 4) t(i)) b), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.simhash AS ha, b.simhash AS hb "
+            "FROM blocks a JOIN blocks b ON a.q = b.q AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming "
+            "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
         "rolling_fingerprints": _text.rolling_fingerprints_sql("documents"),
         # recall-1 regimes: every bucket/list probed -> must equal exact SQL
         "ann_lsh_topk": (
