@@ -172,3 +172,37 @@ def test_decontaminate_benchmark_is_broadcast(spark):
     for df in (ngram_decontaminate(docs, bench),
                curate_training_set(docs, bench, {"en": 1.0})):
         assert "BroadcastHashJoin" in plan(df, "simple"), plan(df, "simple")
+
+
+def test_curate_barrier_modes_evaluate_normalize_once(spark, tmp_path):
+    """The optimizer barrier must block quality-predicate substitution into
+    both dedup branches under EVERY barrier mechanism: the normalize regex
+    chain appears the same (small) number of times in each mode's physical
+    plan — the re-substitution blowup the barrier exists to prevent
+    (BENCH/PIPELINE.md: 5.2x at 10M) would multiply it."""
+    from filterz_spark.ops.pipeline import curate_training_set
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 50 = 0")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    plans = {mode: plan(curate_training_set(docs, bench, {"en": 1.0},
+                                            barrier=mode))
+             for mode in ("local", "reliable", "persist")}
+    # checkpoint barriers render the pre-barrier subtree as an opaque RDD
+    # scan: the dedup join branches CANNOT contain a re-substituted
+    # normalize chain if no regex appears above the barrier at all
+    assert plans["local"].count("regexp_replace") == 0, plans["local"][:800]
+    assert plans["reliable"].count("regexp_replace") == 0
+    # the persist barrier renders its cached plan inline: every regex
+    # occurrence must sit inside the single InMemoryRelation definition
+    # (evaluated once, then served from the cache) — both dedup branches
+    # read it via InMemoryTableScan, never a parquet re-scan of documents
+    # + re-derived normalize (the 5.2x blowup shape from BENCH/PIPELINE.md)
+    p = plans["persist"]
+    assert "InMemoryTableScan" in p
+    n_scans = p.count("documents.parquet")
+    # 3 = decontaminate's train + bench sides + the scan INSIDE the
+    # InMemoryRelation definition render (the cached plan's source, printed
+    # once, executed once); the blowup shape re-derives normalize from a
+    # fresh parquet scan per dedup branch, which would add more
+    assert n_scans == 3, (n_scans, p[:800])
+    spark.catalog.clearCache()
