@@ -255,13 +255,23 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 2, min_jaccard: float = 0.0,
     below ``min_jaccard - prefilter_margin``. The 10M rehearsal produced
     757M LSH candidates; exactly verifying all of them is the next wall
     at corpus scale, and most collide on 1 band out of many. The margin
-    bounds the estimator's noise: with H hashes the estimate of a true-J
-    pair is Binomial(H, J)/H, so P(drop a pair with J >= min_jaccard) <=
-    exp(-2*H*margin^2) (Hoeffding) — e.g. H=16, margin=0.4 -> <= 0.6%
-    per borderline pair, and 0 for pairs whose estimate cannot reach the
-    cut. None (default) disables the filter: exact verification of every
-    candidate, the oracle-entry regime. Requires candidates to carry
-    ``n_bands`` (lsh_candidate_pairs always emits it)."""
+    bounds the estimator's noise: with H INDEPENDENT band hashes
+    (``band_md5``) the estimate of a true-J pair is Binomial(H, J)/H, so
+    P(drop a pair with J >= min_jaccard) <= exp(-2*H*margin^2)
+    (Hoeffding) — e.g. H=16, margin=0.4 -> <= 0.6% per borderline pair.
+    Under the KM families (the default) band matches are positively
+    correlated through the shared (h1, h2) draw, so the binomial bound is
+    approximate — the estimator stays unbiased, but size margins
+    conservatively (or pin band_md5) where the bound must hold exactly.
+    None (default) disables the filter: exact verification of every
+    candidate, the oracle-entry regime.
+
+    Contract: candidates must carry ``n_bands`` (lsh_candidate_pairs
+    always emits it) and ``num_hashes`` MUST equal the value the
+    candidates were built with — n_bands does not record it, so a
+    mismatch silently rescales every estimate (e.g. 16-hash candidates
+    divided by the default 8 double their estimates and the cut
+    under-drops; the reverse over-drops qualifying pairs)."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, num_hashes=num_hashes, k=k,
                                          signatures=signatures,

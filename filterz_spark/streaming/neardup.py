@@ -73,7 +73,8 @@ class StreamingNearDupDedup:
 
     def __init__(self, base_dir: str, num_hashes: int = 8, k: int = 2,
                  run_token: str | None = None,
-                 max_batch_rows: int = 5_000_000) -> None:
+                 max_batch_rows: int = 5_000_000,
+                 hash_family: str = "km_md5") -> None:
         self.base_dir = base_dir
         self.store_dir = os.path.join(base_dir, "store")
         self.out_dir = os.path.join(base_dir, "novel")
@@ -86,6 +87,13 @@ class StreamingNearDupDedup:
         # a fat batch would otherwise become a SILENT driver OOM. Sized
         # for ~1 KB/row -> a few GB of driver heap at the default.
         self.max_batch_rows = max_batch_rows
+        # the store is FAMILY-PINNED: signatures from different hash
+        # families never collide (km decimal vs band hex strings), so
+        # mixing them would silently disable dedup against everything
+        # already stored. The family is recorded in meta.json and checked
+        # on every batch; a pre-round-5 store (no recorded family) was
+        # written by the then-default band_md5.
+        self.hash_family = hash_family
         os.makedirs(base_dir, exist_ok=True)
 
     # NOTE: the (run_token, last_batch_id, atomic tmp+rename) replay guard
@@ -97,6 +105,19 @@ class StreamingNearDupDedup:
             return -1
         with open(self.meta_path) as f:
             obj = json.load(f)
+        # family mismatch is fatal regardless of lineage: the parquet
+        # store under store_dir was written by obj's family, and a new
+        # run_token does not rewrite it
+        stored_fam = obj.get("hash_family", "band_md5")
+        if stored_fam != self.hash_family:
+            raise RuntimeError(
+                f"signature store at {self.base_dir} was written with "
+                f"hash_family={stored_fam!r} but this instance is "
+                f"configured with {self.hash_family!r}: the families' "
+                "signatures never collide, so continuing would silently "
+                "stop deduplicating against everything already stored. "
+                f"Pin hash_family={stored_fam!r}, or point at a fresh "
+                "base_dir to start a new store.")
         if self.run_token is not None and obj.get("run_token") != self.run_token:
             return -1  # new checkpoint lineage: batch ids restart at 0
         return obj.get("last_batch_id", -1)
@@ -105,14 +126,16 @@ class StreamingNearDupDedup:
         tmp = f"{self.meta_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"last_batch_id": batch_id,
-                       "run_token": self.run_token}, f)
+                       "run_token": self.run_token,
+                       "hash_family": self.hash_family}, f)
         os.replace(tmp, self.meta_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._load_meta():
             return  # at-least-once redelivery of an applied batch
         spark = batch_df.sparkSession
-        sigs = minhash_signature_arrays(batch_df, self.num_hashes, self.k) \
+        sigs = minhash_signature_arrays(batch_df, self.num_hashes, self.k,
+                                        hash_family=self.hash_family) \
             .localCheckpoint(eager=True)
         try:
             n_sig = sigs.count()  # metadata-cheap: sigs is checkpointed
@@ -145,11 +168,16 @@ class StreamingNearDupDedup:
             novel = set(greedy_novel(rows, set()))
             # docs with NULL text have no shingles (the signature pipeline
             # drops them) — they can never collide with anything, so they
-            # are trivially novel: emit them, nothing to store
-            sigless = {r["doc_id"] for r in batch_df.select("doc_id").collect()} \
-                - {r["doc_id"] for r in sigs.select("doc_id").collect()}
-            emit_ids = novel | sigless
-            if emit_ids:
+            # are trivially novel: emit them, nothing to store. Resolved
+            # DISTRIBUTED (anti-join against the signature ids), never by
+            # collecting the batch's ids: the max_batch_rows guard bounds
+            # SIGNATURE rows only, and a batch that is mostly sig-less
+            # (e.g. a broken upstream extractor NULLing text) can be
+            # arbitrarily larger than it.
+            sigless_ids = batch_df.select("doc_id").join(
+                sigs.select("doc_id"), "doc_id", "left_anti")
+            has_sigless = bool(sigless_ids.limit(1).count())
+            if novel or has_sigless:
                 # crash ordering: OUT before STORE, with an idempotence
                 # guard. crash after out/before store -> replay recomputes
                 # the same novel set (store unchanged) and the anti-join
@@ -162,18 +190,17 @@ class StreamingNearDupDedup:
                 # IN-list would bloat the plan (one literal per kept doc)
                 # and serialize through expression parsing; a broadcast
                 # hash relation is O(ids) bytes shipped once per executor.
-                emit_keep = F.broadcast(spark.createDataFrame(
-                    [(int(i),) for i in sorted(emit_ids)], "doc_id long"))
-                emit = batch_df.join(emit_keep, "doc_id", "left_semi")
+                novel_keep = spark.createDataFrame(
+                    [(int(i),) for i in sorted(novel)], "doc_id long")
+                emit_ids_df = novel_keep.unionByName(sigless_ids)
+                emit = batch_df.join(emit_ids_df, "doc_id", "left_semi")
                 if os.path.exists(self.out_dir):
                     prior = spark.read.parquet(self.out_dir).select("doc_id")
                     emit = emit.join(prior, "doc_id", "left_anti")
                 (emit.withColumn("__batch_id", F.lit(batch_id))
                  .write.mode("append").parquet(self.out_dir))
                 if novel:
-                    novel_keep = F.broadcast(spark.createDataFrame(
-                        [(int(i),) for i in sorted(novel)], "doc_id long"))
-                    (sigs.join(novel_keep, "doc_id", "left_semi")
+                    (sigs.join(F.broadcast(novel_keep), "doc_id", "left_semi")
                      .select("doc_id",
                              F.posexplode("sig").alias("band", "minhash"))
                      .write.mode("append").parquet(self.store_dir))

@@ -372,3 +372,41 @@ def test_streaming_neardup_overfat_batch_raises_loudly(spark):
         # with a bounded source can still apply batch 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_store_is_family_pinned(spark):
+    """A signature store written under one hash family must REFUSE batches
+    from an instance configured with another: the families' signatures
+    never collide, so mixing them silently stops dedup against everything
+    stored. A pre-round-5 meta (no recorded family) is attributed to the
+    then-default band_md5."""
+    import json as _json
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndfam_")
+    try:
+        batch = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+            "doc_id long, text string")
+        state = os.path.join(base, "state")
+        dd_km = StreamingNearDupDedup(state, run_token="t")  # km_md5 default
+        dd_km(batch, 0)
+        meta = _json.load(open(dd_km.meta_path))
+        assert meta["hash_family"] == "km_md5"
+        # same family continues fine (replay no-op)
+        StreamingNearDupDedup(state, run_token="t")(batch, 0)
+        # different family refuses loudly, BEFORE touching the store
+        with pytest.raises(RuntimeError, match="hash_family"):
+            StreamingNearDupDedup(state, run_token="t",
+                                  hash_family="band_md5")(batch, 1)
+        # legacy meta without the key = band_md5 era: km instance refuses
+        legacy = dict(meta)
+        del legacy["hash_family"]
+        _json.dump(legacy, open(dd_km.meta_path, "w"))
+        with pytest.raises(RuntimeError, match="band_md5"):
+            StreamingNearDupDedup(state, run_token="t")(batch, 1)
+        # ...and a band-pinned instance proceeds against it
+        StreamingNearDupDedup(state, run_token="t",
+                              hash_family="band_md5")(batch, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

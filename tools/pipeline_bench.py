@@ -165,8 +165,12 @@ def run(n_docs: int, cores: int) -> dict:
     # 0.8, margin 0.3 -> keep estimate >= 0.5, i.e. n_bands >= 4 of 8);
     # the drop factor is what the verify stage's cost scales by
     from filterz_spark.ops.dedup import ngram_jaccard_pairs
+    from pyspark import StorageLevel
+    # DISK_ONLY persist, not localCheckpoint: checkpoint blocks are not
+    # CacheManager-registered, so unpersist() on them is a no-op and the
+    # pair blocks would stay resident through the curate measurement below
     cand = lsh_candidate_pairs(docs, num_hashes=8, k=2,
-                               signatures=sigs).localCheckpoint(eager=True)
+                               signatures=sigs).persist(StorageLevel.DISK_ONLY)
     n_cand = cand.count()
     n_kept = cand.filter(F.col("n_bands") / 8.0 >= 0.5).count()
     prefilter = {"candidates": n_cand, "after_prefilter": n_kept,
