@@ -410,3 +410,72 @@ def test_streaming_neardup_store_is_family_pinned(spark):
                               hash_family="band_md5")(batch, 0)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_greedy_novel_distributed_equals_driver_on_chain(spark):
+    """The distributed MIS rounds must equal the sequential greedy on its
+    hardest shape — a dependency CHAIN (doc i shares one bucket with doc
+    i+1 only), which forces one round per link and where any 'local
+    minimum' shortcut that ignored rejected docs' non-blocking semantics
+    would diverge. Sequential greedy keeps exactly the even positions."""
+    from filterz_spark.streaming.neardup import (greedy_novel,
+                                                 greedy_novel_distributed)
+    n = 20
+    rows = []
+    for i in range(n):
+        sig = [None, None]
+        sig[i % 2] = f"link{i}"            # shared with doc i+1
+        sig[(i - 1) % 2] = f"link{i-1}" if i > 0 else "solo"
+        rows.append((i, sig))
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<string>")
+    dist = sorted(r["doc_id"] for r in
+                  greedy_novel_distributed(sigs).collect())
+    seq = sorted(greedy_novel(rows, set()))
+    assert dist == seq == list(range(0, n, 2))
+
+
+def test_streaming_neardup_distributed_matches_driver_mode(spark):
+    """Both within_batch implementations must emit the identical doc set
+    and identical store rows over the same chunked arrival (including
+    NULL-text pass-through docs)."""
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_nddist_")
+    try:
+        docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text").limit(120))
+        clones = docs.limit(40).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        nulls = spark.createDataFrame(
+            [(2_000_000, None), (2_000_001, None)], "doc_id long, text string")
+        full = docs.unionByName(clones).unionByName(nulls).cache()
+        chunks = [full.filter("doc_id % 3 = 0"),
+                  full.filter("doc_id % 3 = 1"),
+                  full.filter("doc_id % 3 = 2")]
+        results = {}
+        for mode in ("driver", "distributed"):
+            dd = StreamingNearDupDedup(os.path.join(base, mode),
+                                       run_token="t", within_batch=mode)
+            for bid, chunk in enumerate(chunks):
+                dd(chunk, bid)
+            emitted = frozenset(r["doc_id"] for r in
+                                dd.novel_docs(spark).collect())
+            stored = frozenset((r["doc_id"], r["band"], r["minhash"])
+                               for r in spark.read.parquet(dd.store_dir)
+                               .collect())
+            results[mode] = (emitted, stored)
+        assert results["driver"] == results["distributed"]
+        assert 2_000_000 in results["driver"][0]  # null-text pass-through
+        full.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_rejects_unknown_within_batch():
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+    base = tempfile.mkdtemp(prefix="fz_ndwb_")
+    try:
+        with pytest.raises(ValueError, match="within_batch"):
+            StreamingNearDupDedup(base, within_batch="magic")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
