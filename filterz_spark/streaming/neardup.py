@@ -75,10 +75,16 @@ def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFram
            .localCheckpoint(eager=True))
     spark = sigs.sparkSession
     kept_all = spark.createDataFrame([], "doc_id long")
+    kept_rounds: list = []
     for _ in range(max_rounds):
         if not und.limit(1).count():
             und.unpersist()
-            return kept_all
+            # materialize the union ONCE, then free the per-round blocks
+            # (the returned frame is self-contained; caller unpersists it)
+            out = kept_all.localCheckpoint(eager=True)
+            for kr in kept_rounds:
+                kr.unpersist()
+            return out
         mins = und.groupBy("band", "minhash").agg(F.min("doc_id").alias("mn"))
         # materialized per round: kept_all and the next frontier both read
         # it, and the parent frontier's checkpoint blocks are freed below
@@ -88,6 +94,7 @@ def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFram
                            .otherwise(0)).alias("blocked"))
                 .filter("blocked = 0").select("doc_id")
                 .localCheckpoint(eager=True))
+        kept_rounds.append(kept)
         kept_buckets = (und.join(kept, "doc_id", "left_semi")
                         .select("band", "minhash").distinct())
         decided = kept.unionByName(
@@ -242,8 +249,9 @@ class StreamingNearDupDedup:
             if self.within_batch == "distributed":
                 cand = sigs if collided_ids is None else \
                     sigs.join(collided_ids, "doc_id", "left_anti")
-                novel_ckpt = greedy_novel_distributed(cand) \
-                    .localCheckpoint(eager=True)
+                # returned frame is already materialized (localCheckpoint
+                # inside greedy_novel_distributed); unpersisted in finally
+                novel_ckpt = greedy_novel_distributed(cand)
                 novel_keep = novel_ckpt
                 has_novel = bool(novel_keep.limit(1).count())
                 store_novel_broadcastable = False
