@@ -479,3 +479,18 @@ def test_streaming_neardup_rejects_unknown_within_batch():
             StreamingNearDupDedup(base, within_batch="magic")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_greedy_novel_distributed_nonconvergence_raises(spark):
+    """A dependency chain longer than max_rounds must raise loudly (every
+    round resolves at least one link), never return a partial novel set."""
+    from filterz_spark.streaming.neardup import greedy_novel_distributed
+    rows = []
+    for i in range(12):
+        sig = [None, None]
+        sig[i % 2] = f"link{i}"
+        sig[(i - 1) % 2] = f"link{i-1}" if i > 0 else "solo"
+        rows.append((i, sig))
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<string>")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        greedy_novel_distributed(sigs, max_rounds=3)
