@@ -15,26 +15,36 @@ any streaming dedup. The streaming result therefore equals the same
 ``greedy_novel`` applied chunk-by-chunk in arrival order (gated in
 tests/test_streaming.py), NOT a globally id-sorted batch pass over the
 concatenation. Docs with NULL text produce no shingles: they cannot
-collide, so they are emitted as trivially novel with nothing stored.
+collide, so they are emitted as trivially novel with nothing in the
+SIGNATURE store — their first-arrival dedup runs against a dedicated
+doc_id store instead (see below).
 
-Scale posture: the store-vs-batch collision check is a distributed
-semi-join on the bucket key (the store never leaves executors; at corpus
-scale it is bucketed-by-minhash parquet). The within-batch greedy has two
-implementations producing the identical novel set: the default collects
-only the BATCH's signatures — a micro-batch is driver-sized by definition
-(same assumption as foreachBatch sketch merging); KEEP it that way by
-bounding the trigger (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``)
-on fat sources, and the ``max_batch_rows`` guard raises loudly if not —
-and ``within_batch="distributed"`` runs the greedy as iterated
-local-minima MIS rounds (``greedy_novel_distributed``) with nothing
-batch-sized on the driver, for fat bootstrap/replay batches no trigger
-bound can shrink. Kept-doc filtering back onto the batch is a semi-join
-on a created-from-ids DataFrame (never an ``isin`` literal list, which
-would grow the PLAN with the batch). Replay
-discipline mirrors ForeachBatchSketcher: at-least-once redeliveries are
-skipped via a batch-id high-watermark tied to a run token, and the store
-append is guarded by recording emitted batch ids — a replayed batch
-neither re-emits nor double-appends.
+Scale posture: every per-batch cost is bounded by the BATCH plus
+store-sized semi-joins that never leave the executors:
+
+- store-vs-batch collision check: a distributed semi-join on the bucket
+  key (at corpus scale the store is bucketed-by-minhash parquet).
+- within-batch greedy: two implementations producing the identical novel
+  set — the default collects only the BATCH's signatures (a micro-batch
+  is driver-sized by definition; bound the trigger on fat sources, and
+  the ``max_batch_rows`` guard raises loudly if not), and
+  ``within_batch="distributed"`` runs iterated local-minima MIS rounds
+  (``greedy_novel_distributed``) with nothing batch-sized on the driver.
+- emit idempotence on crash-replay: the novel output is PARTITIONED BY
+  ``__batch_id`` and the guard anti-joins only the CURRENT batch's
+  partition (partition-pruned to near-zero) — never the entire emitted
+  corpus. Earlier batches cannot re-emit anyway: applied batch ids are
+  skipped by the high-watermark, sig-bearing re-arrivals collide with
+  the signature store, and sig-less re-arrivals are suppressed by the
+  sig-less id store.
+
+Replay discipline mirrors ForeachBatchSketcher: at-least-once
+redeliveries are skipped via a batch-id high-watermark tied to a run
+token, and the store appends are guarded so a replayed batch neither
+re-emits nor double-appends. ``meta.json`` is written at INIT (before
+any store append), so a store directory without meta is always a foreign
+/ corrupted state and is refused loudly rather than silently attributed
+a default hash family.
 """
 
 from __future__ import annotations
@@ -42,11 +52,16 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..ops.dedup import minhash_signature_arrays
 
 STORE_SCHEMA = "doc_id long, band int, minhash string"
+# novel-output layout marker: round-6 onward partitions the out store by
+# __batch_id so the crash-replay emit guard is partition-pruned to the
+# current batch. A pre-round-6 store (flat files, __batch_id as a data
+# column) cannot be appended to in the partitioned layout — refused loudly.
+OUT_LAYOUT = "batch_id_dirs"
 
 
 def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFrame:
@@ -62,54 +77,82 @@ def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFram
     Rejected docs never claim buckets — identical to the driver greedy
     (equivalence gated in tests/test_streaming.py).
 
-    Each round is two bucket-keyed shuffles on the REMAINING docs only and
-    the frontier shrinks by at least the global-minimum doc per round (in
+    Each round is ONE materialized pass (localCheckpoint) over the
+    remaining rows annotated with a doc-level status in {kept, rejected,
+    undecided}: per-bucket mins and per-doc blocked flags are window
+    functions over the same frame, and "shares a bucket with a kept doc"
+    reduces to "the bucket's min doc is kept" (a kept doc is the min of
+    every bucket it is in), resolved by one self-join on the min doc id —
+    no separate kept/next-frontier materializations and no per-round
+    emptiness probe job (the frontier count rides on the checkpointed
+    round result). A NULL minhash is a bucket VALUE (two docs with a NULL
+    band entry collide), matching ``greedy_novel``'s tuple semantics.
+
+    The frontier shrinks by at least the global-minimum doc per round (in
     practice geometrically: everything outside collision clusters resolves
-    in round 1, chains inside a cluster take one round per link). The
-    per-round state is localCheckpointed to cut compounding lineage, same
-    discipline as ops.relational.dedup_components. Raises if ``max_rounds``
-    rounds leave docs undecided (a pathological >200-link dependency chain
-    — at that depth the corpus needs exact_dedup first, not near-dup).
+    in round 1, chains inside a cluster take one round per link).
+    Per-round state is localCheckpointed to cut compounding lineage, same
+    discipline as ops.relational.dedup_components; ALL checkpoint blocks
+    — including the frontier and per-round frames on the non-convergence
+    raise path — are freed in a finally. Raises if ``max_rounds`` rounds
+    leave docs undecided (a pathological >200-link dependency chain — at
+    that depth the corpus needs exact_dedup first, not near-dup).
     """
     und = (sigs.select("doc_id", F.posexplode("sig").alias("band", "minhash"))
            .localCheckpoint(eager=True))
     spark = sigs.sparkSession
     kept_all = spark.createDataFrame([], "doc_id long")
-    kept_rounds: list = []
-    for _ in range(max_rounds):
-        if not und.limit(1).count():
+    rounds: list = []
+    n_und = und.count()
+    try:
+        for _ in range(max_rounds):
+            if not n_und:
+                # materialize the union ONCE (the returned frame is
+                # self-contained; caller unpersists it) — the per-round
+                # blocks it was derived from are freed in finally
+                return kept_all.localCheckpoint(eager=True)
+            w_b = Window.partitionBy("band", "minhash")
+            w_d = Window.partitionBy("doc_id")
+            ann = (und
+                   .withColumn("mn", F.min("doc_id").over(w_b))
+                   .withColumn("self_blocked",
+                               F.max((F.col("doc_id") != F.col("mn"))
+                                     .cast("int")).over(w_d)))
+            # a bucket contains a kept doc iff its min doc is kept, and a
+            # doc is kept iff self_blocked = 0 — so each row only needs
+            # its bucket-min's blocked flag, one equi-join on the min id
+            mn_status = (ann.filter("doc_id = mn")
+                         .select(F.col("doc_id").alias("mn"),
+                                 F.col("self_blocked").alias("mn_blocked"))
+                         .dropDuplicates(["mn"]))
+            rnd = (ann.join(mn_status, "mn")
+                   .withColumn("any_mn_kept",
+                               F.max(1 - F.col("mn_blocked")).over(w_d))
+                   .select("doc_id", "band", "minhash",
+                           F.when(F.col("self_blocked") == 0, F.lit("kept"))
+                           .when(F.col("any_mn_kept") == 1, F.lit("rejected"))
+                           .otherwise(F.lit("undecided")).alias("status"))
+                   .localCheckpoint(eager=True))
+            rounds.append(rnd)
+            kept_all = kept_all.unionByName(
+                rnd.filter("status = 'kept'").select("doc_id").distinct())
+            nxt = rnd.filter("status = 'undecided'") \
+                     .select("doc_id", "band", "minhash")
+            # emptiness probe over the already-checkpointed round result —
+            # a narrow scan, not a recompute and not an extra shuffle
+            n_und = nxt.count()
             und.unpersist()
-            # materialize the union ONCE, then free the per-round blocks
-            # (the returned frame is self-contained; caller unpersists it)
-            out = kept_all.localCheckpoint(eager=True)
-            for kr in kept_rounds:
-                kr.unpersist()
-            return out
-        mins = und.groupBy("band", "minhash").agg(F.min("doc_id").alias("mn"))
-        # materialized per round: kept_all and the next frontier both read
-        # it, and the parent frontier's checkpoint blocks are freed below
-        kept = (und.join(mins, ["band", "minhash"])
-                .groupBy("doc_id")
-                .agg(F.max(F.when(F.col("doc_id") != F.col("mn"), 1)
-                           .otherwise(0)).alias("blocked"))
-                .filter("blocked = 0").select("doc_id")
-                .localCheckpoint(eager=True))
-        kept_rounds.append(kept)
-        kept_buckets = (und.join(kept, "doc_id", "left_semi")
-                        .select("band", "minhash").distinct())
-        decided = kept.unionByName(
-            und.join(kept_buckets, ["band", "minhash"], "left_semi")
-            .select("doc_id").distinct())
-        nxt = und.join(decided, "doc_id", "left_anti") \
-                 .localCheckpoint(eager=True)
-        kept_all = kept_all.unionByName(kept)
+            und = nxt
+        raise RuntimeError(
+            f"greedy_novel_distributed did not converge in {max_rounds} "
+            "rounds: the batch contains a dependency chain longer than "
+            "max_rounds (every round resolves at least one link). Raise "
+            "max_rounds, or exact-dedup the batch first to collapse the "
+            "chain.")
+    finally:
         und.unpersist()
-        und = nxt
-    raise RuntimeError(
-        f"greedy_novel_distributed did not converge in {max_rounds} rounds: "
-        "the batch contains a dependency chain longer than max_rounds "
-        "(every round resolves at least one link). Raise max_rounds, or "
-        "exact-dedup the batch first to collapse the chain.")
+        for r in rounds:
+            r.unpersist()
 
 
 def greedy_novel(sig_rows: list, seen_buckets: set) -> list:
@@ -128,8 +171,10 @@ def greedy_novel(sig_rows: list, seen_buckets: set) -> list:
 
 class StreamingNearDupDedup:
     """foreachBatch sink: near-dup-dedup each micro-batch against the
-    persistent store, emit novel docs to ``out_dir`` parquet, append their
-    bucket rows to ``store_dir`` parquet.
+    persistent store, emit novel docs to ``out_dir`` parquet (partitioned
+    by ``__batch_id``), append their bucket rows to ``store_dir`` parquet,
+    and record first-arrival of sig-less (NULL-text) docs in
+    ``sigless_dir``.
 
     Usage:
         dd = StreamingNearDupDedup(base_dir, num_hashes=8, k=2)
@@ -146,6 +191,7 @@ class StreamingNearDupDedup:
         self.base_dir = base_dir
         self.store_dir = os.path.join(base_dir, "store")
         self.out_dir = os.path.join(base_dir, "novel")
+        self.sigless_dir = os.path.join(base_dir, "sigless")
         self.meta_path = os.path.join(base_dir, "meta.json")
         self.num_hashes = num_hashes
         self.k = k
@@ -176,6 +222,23 @@ class StreamingNearDupDedup:
         # written by the then-default band_md5.
         self.hash_family = hash_family
         os.makedirs(base_dir, exist_ok=True)
+        if not os.path.exists(self.meta_path):
+            if any(os.path.exists(d) for d in
+                   (self.store_dir, self.out_dir, self.sigless_dir)):
+                # a populated store with no meta has an UNKNOWN hash
+                # family and out layout (e.g. meta.json deleted, or a
+                # foreign directory): attributing defaults would silently
+                # mix families. Refuse instead of guessing.
+                raise RuntimeError(
+                    f"store directories exist under {base_dir} but "
+                    "meta.json is missing: the store's hash_family and "
+                    "novel-output layout are unknown. Restore meta.json "
+                    "(with the family the store was written with), or "
+                    "point at a fresh base_dir.")
+            # write meta BEFORE any store append: a crash between the
+            # first batch's append and its meta update can never leave a
+            # family-less populated store
+            self._store_meta(-1)
 
     # NOTE: the (run_token, last_batch_id, atomic tmp+rename) replay guard
     # here mirrors ForeachBatchSketcher._load/_store (windowed.py), where
@@ -199,6 +262,18 @@ class StreamingNearDupDedup:
                 "stop deduplicating against everything already stored. "
                 f"Pin hash_family={stored_fam!r}, or point at a fresh "
                 "base_dir to start a new store.")
+        # layout mismatch is equally fatal once novel output exists: a
+        # pre-round-6 flat out store cannot take partitioned appends
+        # (mixed layouts break partition discovery on read)
+        if os.path.exists(self.out_dir) and obj.get("out_layout") != OUT_LAYOUT:
+            raise RuntimeError(
+                f"novel output at {self.out_dir} was written in the "
+                "pre-round-6 flat layout (__batch_id as a data column); "
+                f"this version partitions by __batch_id ({OUT_LAYOUT!r}) "
+                "and appending would mix layouts. Migrate the store "
+                "(rewrite novel/ partitioned by __batch_id and add "
+                f"out_layout={OUT_LAYOUT!r} to meta.json), or point at a "
+                "fresh base_dir.")
         if self.run_token is not None and obj.get("run_token") != self.run_token:
             return -1  # new checkpoint lineage: batch ids restart at 0
         return obj.get("last_batch_id", -1)
@@ -208,7 +283,8 @@ class StreamingNearDupDedup:
         with open(tmp, "w") as f:
             json.dump({"last_batch_id": batch_id,
                        "run_token": self.run_token,
-                       "hash_family": self.hash_family}, f)
+                       "hash_family": self.hash_family,
+                       "out_layout": OUT_LAYOUT}, f)
         os.replace(tmp, self.meta_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -219,6 +295,7 @@ class StreamingNearDupDedup:
                                         hash_family=self.hash_family) \
             .localCheckpoint(eager=True)
         novel_ckpt = None
+        new_sigless = None
         try:
             if self.within_batch == "driver":
                 n_sig = sigs.count()  # metadata-cheap: sigs is checkpointed
@@ -273,31 +350,57 @@ class StreamingNearDupDedup:
                 has_novel = bool(novel)
                 store_novel_broadcastable = True
             # docs with NULL text have no shingles (the signature pipeline
-            # drops them) — they can never collide with anything, so they
-            # are trivially novel: emit them, nothing to store. Resolved
-            # DISTRIBUTED (anti-join against the signature ids), never by
-            # collecting the batch's ids: the max_batch_rows guard bounds
-            # SIGNATURE rows only, and a batch that is mostly sig-less
-            # (e.g. a broken upstream extractor NULLing text) can be
-            # arbitrarily larger than it.
+            # drops them) — they can never collide with anything, so the
+            # signature store cannot dedup them. First-arrival semantics
+            # come from a dedicated doc_id store instead: a sig-less id is
+            # emitted the first time it is seen and recorded, and a
+            # re-arrival in ANY later batch anti-joins away. Everything is
+            # distributed (anti-joins), never a collected id list: the
+            # max_batch_rows guard bounds SIGNATURE rows only, and a batch
+            # that is mostly sig-less (e.g. a broken upstream extractor
+            # NULLing text) can be arbitrarily larger than it.
             sigless_ids = batch_df.select("doc_id").join(
                 sigs.select("doc_id"), "doc_id", "left_anti")
-            has_sigless = bool(sigless_ids.limit(1).count())
+            if os.path.exists(self.sigless_dir):
+                seen_sigless = spark.read.schema("doc_id long") \
+                    .parquet(self.sigless_dir)
+                sigless_ids = sigless_ids.join(seen_sigless, "doc_id",
+                                               "left_anti")
+            # materialize once: read by the emit union AND appended to the
+            # sig-less store below (which its plan reads — never write a
+            # path a live lazy plan still scans)
+            new_sigless = sigless_ids.localCheckpoint(eager=True)
+            has_sigless = bool(new_sigless.limit(1).count())
             if has_novel or has_sigless:
-                # crash ordering: OUT before STORE, with an idempotence
-                # guard. crash after out/before store -> replay recomputes
-                # the same novel set (store unchanged) and the anti-join
-                # skips re-append; crash after store/before meta -> replay
-                # sees the docs collide with their own stored buckets,
+                # crash ordering: OUT before STORES, with an idempotence
+                # guard. crash after out/before stores -> replay recomputes
+                # the same novel + sig-less sets (stores unchanged) and the
+                # guard skips re-emission while the store appends proceed;
+                # crash after stores/before meta -> replay sees the docs
+                # collide with their own stored buckets / sig-less ids,
                 # emits nothing, and out already has them from before the
                 # crash. Either way: exactly once.
-                emit_ids_df = novel_keep.unionByName(sigless_ids)
+                emit_ids_df = novel_keep.unionByName(new_sigless)
                 emit = batch_df.join(emit_ids_df, "doc_id", "left_semi")
                 if os.path.exists(self.out_dir):
-                    prior = spark.read.parquet(self.out_dir).select("doc_id")
+                    # replay guard for THIS batch only: docs the crashed
+                    # attempt of the same batch already wrote. Earlier
+                    # batches cannot re-emit (watermark skips applied ids;
+                    # cross-batch re-arrivals are suppressed upstream by
+                    # the signature / sig-less stores), so the anti-join
+                    # is scoped to the current __batch_id partition —
+                    # partition-pruned instead of scanning the entire
+                    # emitted corpus on every batch. A lineage restart
+                    # (new run_token) reuses batch ids: anti-joining an
+                    # older lineage's same-id partition only suppresses
+                    # identical doc_ids, which the stores suppress anyway.
+                    prior = (spark.read.parquet(self.out_dir)
+                             .where(F.col("__batch_id") == batch_id)
+                             .select("doc_id"))
                     emit = emit.join(prior, "doc_id", "left_anti")
                 (emit.withColumn("__batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(self.out_dir))
+                 .write.mode("append").partitionBy("__batch_id")
+                 .parquet(self.out_dir))
                 if has_novel:
                     store_keep = F.broadcast(novel_keep) \
                         if store_novel_broadcastable else novel_keep
@@ -305,11 +408,15 @@ class StreamingNearDupDedup:
                      .select("doc_id",
                              F.posexplode("sig").alias("band", "minhash"))
                      .write.mode("append").parquet(self.store_dir))
+                if has_sigless:
+                    new_sigless.write.mode("append").parquet(self.sigless_dir)
             self._store_meta(batch_id)
         finally:
             sigs.unpersist()
             if novel_ckpt is not None:
                 novel_ckpt.unpersist()
+            if new_sigless is not None:
+                new_sigless.unpersist()
 
     def novel_docs(self, spark) -> DataFrame:
         return spark.read.parquet(self.out_dir)

@@ -494,3 +494,128 @@ def test_greedy_novel_distributed_nonconvergence_raises(spark):
     sigs = spark.createDataFrame(rows, "doc_id long, sig array<string>")
     with pytest.raises(RuntimeError, match="did not converge"):
         greedy_novel_distributed(sigs, max_rounds=3)
+
+def test_streaming_neardup_out_is_batch_partitioned_and_replay_scoped(spark):
+    """Round-6 emit-guard contract: novel output is PARTITIONED by
+    __batch_id (so the crash-replay anti-join partition-prunes to the
+    current batch instead of scanning the emitted corpus), and a replay
+    of the CURRENT batch after any crash point is exactly-once."""
+    import json as _json
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndscope_")
+    try:
+        state = os.path.join(base, "state")
+        b0 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+             (3, None)], "doc_id long, text string")
+        b1 = spark.createDataFrame(
+            [(4, "iota kappa lambda mu"), (5, None)],
+            "doc_id long, text string")
+        dd = StreamingNearDupDedup(state, run_token="t")
+        dd(b0, 0)
+        dd(b1, 1)
+        # layout: one partition directory per batch
+        assert os.path.isdir(os.path.join(dd.out_dir, "__batch_id=0"))
+        assert os.path.isdir(os.path.join(dd.out_dir, "__batch_id=1"))
+        emitted = sorted(r["doc_id"] for r in dd.novel_docs(spark).collect())
+        assert emitted == [1, 2, 3, 4, 5]
+
+        def _reset_meta(last):
+            meta = _json.load(open(dd.meta_path))
+            meta["last_batch_id"] = last
+            _json.dump(meta, open(dd.meta_path, "w"))
+
+        # crash point A: out + stores written, meta not — replay batch 1:
+        # docs collide with their own stored buckets / sig-less ids, the
+        # scoped guard suppresses nothing new, out unchanged
+        n_store = spark.read.parquet(dd.store_dir).count()
+        _reset_meta(0)
+        dd(b1, 1)
+        assert sorted(r["doc_id"] for r in
+                      dd.novel_docs(spark).collect()) == [1, 2, 3, 4, 5]
+        assert spark.read.parquet(dd.store_dir).count() == n_store
+        # crash point B: out written, stores NOT (wipe batch-1 rows from
+        # both stores) — replay must NOT re-emit (scoped guard) but MUST
+        # append the missing store rows
+        store = spark.read.parquet(dd.store_dir).where("doc_id < 4") \
+            .collect()
+        shutil.rmtree(dd.store_dir)
+        spark.createDataFrame(store, "doc_id long, band int, minhash string") \
+            .write.parquet(dd.store_dir)
+        sigless = spark.read.parquet(dd.sigless_dir).where("doc_id < 4") \
+            .collect()
+        shutil.rmtree(dd.sigless_dir)
+        spark.createDataFrame([(r["doc_id"],) for r in sigless],
+                              "doc_id long").write.parquet(dd.sigless_dir)
+        _reset_meta(0)
+        dd(b1, 1)
+        got = sorted(r["doc_id"] for r in dd.novel_docs(spark).collect())
+        assert got == [1, 2, 3, 4, 5], "replay re-emitted or dropped docs"
+        assert spark.read.parquet(dd.store_dir).where("doc_id = 4").count() > 0
+        assert spark.read.parquet(dd.sigless_dir).where("doc_id = 5").count() == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_sigless_rearrival_suppressed_across_batches(spark):
+    """A NULL-text doc re-arriving in a LATER batch must not re-emit:
+    sig-less first-arrival dedup runs against the dedicated sig-less id
+    store (the signature store can never suppress it)."""
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndsigless_")
+    try:
+        dd = StreamingNearDupDedup(os.path.join(base, "state"), run_token="t")
+        dd(spark.createDataFrame([(1, "alpha beta gamma"), (7, None)],
+                                 "doc_id long, text string"), 0)
+        dd(spark.createDataFrame([(7, None), (8, None)],
+                                 "doc_id long, text string"), 1)
+        emitted = [r["doc_id"] for r in dd.novel_docs(spark).collect()]
+        assert sorted(emitted) == [1, 7, 8], emitted
+        assert emitted.count(7) == 1, "sig-less doc re-emitted on re-arrival"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_refuses_legacy_flat_out_layout(spark):
+    """A pre-round-6 novel store (flat files, no out_layout marker) must
+    be refused loudly: partitioned appends into a flat directory would
+    break partition discovery on every later read."""
+    import json as _json
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndlegacy_")
+    try:
+        state = os.path.join(base, "state")
+        os.makedirs(state)
+        # hand-build the legacy shape: flat novel parquet + meta without
+        # the out_layout key
+        spark.createDataFrame([(1, "x", 0)],
+                              "doc_id long, text string, __batch_id int") \
+            .write.parquet(os.path.join(state, "novel"))
+        _json.dump({"last_batch_id": 0, "run_token": "t",
+                    "hash_family": "km_md5"},
+                   open(os.path.join(state, "meta.json"), "w"))
+        dd = StreamingNearDupDedup(state, run_token="t")
+        with pytest.raises(RuntimeError, match="flat layout"):
+            dd(spark.createDataFrame([(2, "y z w v")],
+                                     "doc_id long, text string"), 1)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_neardup_refuses_orphan_store_without_meta(spark):
+    """A populated store directory with no meta.json has an UNKNOWN hash
+    family (e.g. crash-corrupted or foreign state): init must refuse
+    rather than attribute a default family and silently mix signatures."""
+    from filterz_spark.streaming.neardup import StreamingNearDupDedup
+
+    base = tempfile.mkdtemp(prefix="fz_ndorphan_")
+    try:
+        state = os.path.join(base, "state")
+        os.makedirs(os.path.join(state, "store"))
+        with pytest.raises(RuntimeError, match="meta.json is missing"):
+            StreamingNearDupDedup(state, run_token="t")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
