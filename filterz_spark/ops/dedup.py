@@ -137,6 +137,125 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
         "doc_id", F.array(*[f"m{b}" for b in range(num_hashes)]).alias("sig"))
 
 
+# family-pinned batch signature stores: the hash families' signatures
+# NEVER collide with each other (km decimal vs band hex strings), so a
+# pipeline that joins old signatures written under one family with new
+# ones derived under another silently stops deduplicating — the exact
+# hazard the round-5 default flip (band_md5 -> km_md5) created for any
+# persisted pre-flip store. The marker lives in an underscore-prefixed
+# subdirectory: Spark's parquet reader ignores `_`-prefixed paths (the
+# `_SUCCESS` convention), so `spark.read.parquet(path)` on the store is
+# unaffected, and writing the marker THROUGH Spark keeps the store
+# portable to any Spark-writable filesystem (HDFS/S3), unlike a
+# driver-local ``open()`` sidecar.
+SIGSTORE_META_DIR = "_filterz_signature_meta"
+SIGSTORE_META_SCHEMA = ("hash_family string, num_hashes int, k int, "
+                        "version int")
+
+
+def write_signature_store(sig_arr: DataFrame, path: str, *,
+                          hash_family: str, num_hashes: int, k: int,
+                          mode: str = "error") -> None:
+    """Persist an array-form signature table (as produced by
+    ``minhash_signature_arrays``) WITH its family marker.
+
+    ``mode="append"`` validates the existing marker first (family AND
+    signature shape must match — appending 16-hash signatures to an
+    8-hash store corrupts every downstream band position); any other
+    mode (over)writes marker and data together. Appending to a
+    pre-existing UNMARKED store raises: its family is unknown (written
+    before this helper, or by foreign code) — stamp it explicitly with
+    ``stamp_signature_store`` after verifying what produced it.
+    """
+    spark = sig_arr.sparkSession
+    meta_path = f"{path.rstrip('/')}/{SIGSTORE_META_DIR}"
+    if mode == "append":
+        try:
+            existing = spark.read.schema(SIGSTORE_META_SCHEMA) \
+                .json(meta_path).collect()
+        except Exception:
+            existing = None
+        if existing:
+            m = existing[0]
+            if (m["hash_family"], m["num_hashes"], m["k"]) != \
+                    (hash_family, num_hashes, k):
+                raise RuntimeError(
+                    f"signature store at {path} was written with "
+                    f"hash_family={m['hash_family']!r}, num_hashes="
+                    f"{m['num_hashes']}, k={m['k']} but this append is "
+                    f"({hash_family!r}, {num_hashes}, {k}): mixed "
+                    "families/shapes never collide with each other, so "
+                    "the store would silently stop deduplicating. Pin "
+                    "the store's parameters, or write a fresh store.")
+        else:
+            # does DATA already exist without a marker?
+            try:
+                spark.read.parquet(path).schema
+                has_data = True
+            except Exception:
+                has_data = False
+            if has_data:
+                raise RuntimeError(
+                    f"signature store at {path} has data but no "
+                    f"{SIGSTORE_META_DIR} marker: its hash family is "
+                    "unknown (pre-marker store or foreign directory). "
+                    "Verify what produced it and stamp it with "
+                    "stamp_signature_store, or point at a fresh path.")
+    sig_arr.write.mode(mode).parquet(path)
+    stamp_signature_store(spark, path, hash_family=hash_family,
+                          num_hashes=num_hashes, k=k)
+
+
+def stamp_signature_store(spark, path: str, *, hash_family: str,
+                          num_hashes: int, k: int) -> None:
+    """(Re)write the family marker of a signature store — for adopting a
+    store written before markers existed, AFTER verifying its lineage."""
+    meta_path = f"{path.rstrip('/')}/{SIGSTORE_META_DIR}"
+    (spark.createDataFrame([(hash_family, num_hashes, k, 1)],
+                           SIGSTORE_META_SCHEMA)
+     .coalesce(1).write.mode("overwrite").json(meta_path))
+
+
+def read_signature_store(spark, path: str, *, hash_family: str,
+                         num_hashes: int | None = None,
+                         k: int | None = None) -> DataFrame:
+    """Open a family-pinned signature store, validating the marker against
+    what the caller is about to join it with. A store without a marker is
+    refused loudly (unknown family — never guess), same contract as the
+    streaming store's meta.json."""
+    meta_path = f"{path.rstrip('/')}/{SIGSTORE_META_DIR}"
+    try:
+        rows = spark.read.schema(SIGSTORE_META_SCHEMA).json(meta_path) \
+            .collect()
+    except Exception:
+        rows = []
+    if not rows:
+        raise RuntimeError(
+            f"signature store at {path} has no {SIGSTORE_META_DIR} marker: "
+            "its hash family is unknown, and joining signatures across "
+            "families silently disables dedup (their values never "
+            "collide). If the store's lineage is known, stamp it with "
+            "stamp_signature_store first.")
+    m = rows[0]
+    if m["hash_family"] != hash_family:
+        raise RuntimeError(
+            f"signature store at {path} was written with hash_family="
+            f"{m['hash_family']!r} but the caller expects {hash_family!r}: "
+            "signatures from different families never collide, so the "
+            f"join would match nothing. Pin hash_family="
+            f"{m['hash_family']!r} (and re-derive new signatures under "
+            "it), or rebuild the store.")
+    for name, want, got in (("num_hashes", num_hashes, m["num_hashes"]),
+                            ("k", k, m["k"])):
+        if want is not None and want != got:
+            raise RuntimeError(
+                f"signature store at {path} was written with {name}={got} "
+                f"but the caller expects {name}={want}: band positions "
+                "would misalign. Re-derive with the store's parameters "
+                "or rebuild the store.")
+    return spark.read.parquet(path)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                        signatures: DataFrame | None = None,
                        hash_family: str = "km_md5") -> DataFrame:

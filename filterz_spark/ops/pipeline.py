@@ -31,6 +31,19 @@ from .relational import stratified_sample
 from .text import normalize_text
 
 
+def _select_barrier(spark, barrier: str) -> str:
+    """Resolve ``barrier="auto"`` to a concrete mechanism: ``"reliable"``
+    when the session has a checkpoint directory configured
+    (``sparkContext.setCheckpointDir`` was called — the session-level
+    signal of durable-barrier intent), else ``"local"``. Explicit modes
+    pass through; unknown modes raise."""
+    if barrier not in ("auto", "local", "reliable", "persist"):
+        raise ValueError(f"unknown barrier {barrier!r}")
+    if barrier == "auto":
+        return "reliable" if spark.sparkContext.getCheckpointDir() else "local"
+    return barrier
+
+
 def curate_training_set(docs: DataFrame, bench: DataFrame,
                         fractions: dict, k: int = 3,
                         max_contamination: float = 0.2,
@@ -38,7 +51,7 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
                         min_distinct_ratio: float = 0.3,
                         strata_col: str = "lang",
                         seed: str = "42",
-                        barrier: str = "local") -> DataFrame:
+                        barrier: str = "auto") -> DataFrame:
     """(doc_id, lang, n_tokens) — the curated training set.
 
     ``fractions``: per-stratum keep probabilities (strata absent from the
@@ -49,9 +62,15 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
 
     ``barrier`` picks the optimizer-barrier mechanism between the quality
     projection and the dedup double-reference (see the inline comment for
-    WHY a barrier exists at all). All three produce identical rows:
+    WHY a barrier exists at all). All modes produce identical rows:
 
-    - ``"local"`` (default): ``localCheckpoint(eager=False)`` — cheapest
+    - ``"auto"`` (default): ``"reliable"`` when the session has a
+      checkpoint directory configured (``sparkContext.setCheckpointDir``
+      was called — the operator's signal that the deployment cares about
+      executor-loss durability, e.g. a preemptible/spot fleet pointing at
+      HDFS/S3), else ``"local"``. Durability should not silently depend
+      on a per-operator kwarg nobody passes.
+    - ``"local"``: ``localCheckpoint(eager=False)`` — cheapest
       (executor-local storage, no extra job), but it TRUNCATES lineage:
       losing an executor after materialization makes its blocks
       unrecoverable and kills the job. Fine on a stable single-app
@@ -76,8 +95,7 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
     """
     if not 0.0 < max_contamination <= 1.0:
         raise ValueError("max_contamination must be in (0, 1]")
-    if barrier not in ("local", "reliable", "persist"):
-        raise ValueError(f"unknown barrier {barrier!r}")
+    barrier = _select_barrier(docs.sparkSession, barrier)
     norm = normalize_text(docs, keep_cols=(strata_col,))
 
     # QUALITY FIRST, fused into the normalize projection. Semantically

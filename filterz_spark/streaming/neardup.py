@@ -64,7 +64,8 @@ STORE_SCHEMA = "doc_id long, band int, minhash string"
 OUT_LAYOUT = "batch_id_dirs"
 
 
-def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFrame:
+def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200,
+                             driver_finish_rows: int = 1_000_000) -> DataFrame:
     """The order-greedy novelty rule, computed DISTRIBUTED: (doc_id) frame
     of the docs ``greedy_novel`` would keep, without collecting signatures.
 
@@ -97,6 +98,18 @@ def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFram
     raise path — are freed in a finally. Raises if ``max_rounds`` rounds
     leave docs undecided (a pathological >200-link dependency chain — at
     that depth the corpus needs exact_dedup first, not near-dup).
+
+    ``driver_finish_rows``: everything outside collision clusters resolves
+    in round 1, so the later rounds iterate a TINY frontier through
+    fixed-cost distributed jobs — the dominant cost for the common shape.
+    Greedy MIS is self-reducible (after any number of rounds, the answer
+    on the remainder is exactly greedy MIS on the induced subgraph,
+    equivalence gated in tests), so once the frontier holds at most this
+    many BUCKET rows it is collected and finished in one driver pass.
+    This bounds driver memory by the constant you pass — collision-
+    cluster-sized, never batch-sized (a 200k-doc/8-band batch START is
+    1.6M rows and still runs its first rounds distributed). 0 disables
+    the finish (strictly distributed to convergence).
     """
     und = (sigs.select("doc_id", F.posexplode("sig").alias("band", "minhash"))
            .localCheckpoint(eager=True))
@@ -111,6 +124,24 @@ def greedy_novel_distributed(sigs: DataFrame, max_rounds: int = 200) -> DataFram
                 # self-contained; caller unpersists it) — the per-round
                 # blocks it was derived from are freed in finally
                 return kept_all.localCheckpoint(eager=True)
+            if driver_finish_rows and n_und <= driver_finish_rows:
+                # collision-cluster-sized remainder: one driver pass over
+                # the induced subgraph instead of one distributed round
+                # per chain link (greedy-MIS self-reducibility)
+                by_doc: dict = {}
+                for r in und.collect():
+                    by_doc.setdefault(r["doc_id"], []).append(
+                        (r["band"], r["minhash"]))
+                seen: set = set()
+                tail_ids = []
+                for d in sorted(by_doc):
+                    if any(b in seen for b in by_doc[d]):
+                        continue
+                    seen.update(by_doc[d])
+                    tail_ids.append(int(d))
+                tail = spark.createDataFrame([(d,) for d in tail_ids],
+                                             "doc_id long")
+                return kept_all.unionByName(tail).localCheckpoint(eager=True)
             w_b = Window.partitionBy("band", "minhash")
             w_d = Window.partitionBy("doc_id")
             ann = (und
@@ -187,7 +218,8 @@ class StreamingNearDupDedup:
                  run_token: str | None = None,
                  max_batch_rows: int = 5_000_000,
                  hash_family: str = "km_md5",
-                 within_batch: str = "driver") -> None:
+                 within_batch: str = "driver",
+                 greedy_driver_finish_rows: int = 1_000_000) -> None:
         self.base_dir = base_dir
         self.store_dir = os.path.join(base_dir, "store")
         self.out_dir = os.path.join(base_dir, "novel")
@@ -205,9 +237,14 @@ class StreamingNearDupDedup:
         #   batch-sized ever reaches the driver — for fat replay/bootstrap
         #   batches (e.g. trigger(availableNow) over a month of backlog)
         #   where no trigger bound keeps the batch driver-sized.
+        #   ``greedy_driver_finish_rows`` bounds the MIS driver-finish
+        #   collect (bucket rows of the residual collision clusters, NOT
+        #   the batch — see greedy_novel_distributed); 0 = strictly
+        #   distributed to convergence.
         if within_batch not in ("driver", "distributed"):
             raise ValueError(f"unknown within_batch {within_batch!r}")
         self.within_batch = within_batch
+        self.greedy_driver_finish_rows = greedy_driver_finish_rows
         # loud guard on the driver-sized-micro-batch assumption: the
         # "driver" greedy collects one signature row per doc, so a fat
         # batch would otherwise become a SILENT driver OOM. Sized for
@@ -328,7 +365,8 @@ class StreamingNearDupDedup:
                     sigs.join(collided_ids, "doc_id", "left_anti")
                 # returned frame is already materialized (localCheckpoint
                 # inside greedy_novel_distributed); unpersisted in finally
-                novel_ckpt = greedy_novel_distributed(cand)
+                novel_ckpt = greedy_novel_distributed(
+                    cand, driver_finish_rows=self.greedy_driver_finish_rows)
                 novel_keep = novel_ckpt
                 has_novel = bool(novel_keep.limit(1).count())
                 store_novel_broadcastable = False

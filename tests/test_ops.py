@@ -164,6 +164,82 @@ class TestDedup:
         assert a == b
 
 
+class TestSignatureStore:
+    """Family-pinned batch signature stores: persisted signatures carry a
+    marker, and every open/append validates family AND shape — the hazard
+    is the round-5 default flip (band_md5 -> km_md5): families' values
+    never collide, so a silent mix disables dedup entirely."""
+
+    def _sigs(self, spark, docs, family="km_md5", num_hashes=8):
+        from filterz_spark.ops.dedup import minhash_signature_arrays
+        return minhash_signature_arrays(docs.limit(50), num_hashes, 2,
+                                        hash_family=family)
+
+    def test_roundtrip_and_family_mismatch(self, spark, docs, tmp_path):
+        from filterz_spark.ops.dedup import (read_signature_store,
+                                             write_signature_store)
+        p = str(tmp_path / "store")
+        sigs = self._sigs(spark, docs)
+        write_signature_store(sigs, p, hash_family="km_md5",
+                              num_hashes=8, k=2)
+        back = read_signature_store(spark, p, hash_family="km_md5",
+                                    num_hashes=8, k=2)
+        assert back.count() == sigs.count()
+        with pytest.raises(RuntimeError, match="km_md5"):
+            read_signature_store(spark, p, hash_family="band_md5")
+        with pytest.raises(RuntimeError, match="num_hashes"):
+            read_signature_store(spark, p, hash_family="km_md5",
+                                 num_hashes=16)
+
+    def test_append_validates_and_unmarked_refused(self, spark, docs,
+                                                   tmp_path):
+        from filterz_spark.ops.dedup import (read_signature_store,
+                                             stamp_signature_store,
+                                             write_signature_store)
+        p = str(tmp_path / "store")
+        sigs = self._sigs(spark, docs)
+        write_signature_store(sigs, p, hash_family="km_md5",
+                              num_hashes=8, k=2)
+        # matching append doubles the rows
+        write_signature_store(sigs, p, hash_family="km_md5",
+                              num_hashes=8, k=2, mode="append")
+        assert read_signature_store(spark, p, hash_family="km_md5") \
+            .count() == 2 * sigs.count()
+        # family / shape mismatches refuse before any write
+        for kw in ({"hash_family": "band_md5", "num_hashes": 8, "k": 2},
+                   {"hash_family": "km_md5", "num_hashes": 4, "k": 2}):
+            with pytest.raises(RuntimeError, match="signature store"):
+                write_signature_store(
+                    self._sigs(spark, docs, kw["hash_family"],
+                               kw["num_hashes"]), p, mode="append", **kw)
+        # a pre-marker store (plain parquet, no marker): read and append
+        # are both refused until the caller stamps the verified family
+        legacy = str(tmp_path / "legacy")
+        sigs.write.parquet(legacy)
+        with pytest.raises(RuntimeError, match="no _filterz"):
+            read_signature_store(spark, legacy, hash_family="km_md5")
+        with pytest.raises(RuntimeError, match="no _filterz"):
+            write_signature_store(sigs, legacy, hash_family="km_md5",
+                                  num_hashes=8, k=2, mode="append")
+        stamp_signature_store(spark, legacy, hash_family="km_md5",
+                              num_hashes=8, k=2)
+        assert read_signature_store(spark, legacy, hash_family="km_md5") \
+            .count() == sigs.count()
+
+    def test_marker_invisible_to_plain_parquet_read(self, spark, docs,
+                                                    tmp_path):
+        """The underscore-prefixed marker dir must not leak into a plain
+        spark.read.parquet of the store (the _SUCCESS convention)."""
+        from filterz_spark.ops.dedup import write_signature_store
+        p = str(tmp_path / "store")
+        sigs = self._sigs(spark, docs)
+        write_signature_store(sigs, p, hash_family="km_md5",
+                              num_hashes=8, k=2)
+        plain = spark.read.parquet(p)
+        assert set(plain.columns) == {"doc_id", "sig"}
+        assert plain.count() == sigs.count()
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):
         from filterz_spark.ops.similarity import cosine_topk

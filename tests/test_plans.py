@@ -206,3 +206,32 @@ def test_curate_barrier_modes_evaluate_normalize_once(spark, tmp_path):
     # fresh parquet scan per dedup branch, which would add more
     assert n_scans == 3, (n_scans, p[:800])
     spark.catalog.clearCache()
+
+
+def test_curate_barrier_auto_selects_on_checkpoint_dir(spark, tmp_path):
+    """barrier="auto" (the default) must resolve to "reliable" iff the
+    session has a checkpoint dir configured, "local" otherwise; explicit
+    modes pass through and unknown modes raise."""
+    from filterz_spark.ops.pipeline import _select_barrier
+
+    class _Ctx:
+        def __init__(self, d):
+            self._d = d
+
+        def getCheckpointDir(self):
+            return self._d
+
+    class _Fake:
+        def __init__(self, d):
+            self.sparkContext = _Ctx(d)
+
+    assert _select_barrier(_Fake(None), "auto") == "local"
+    assert _select_barrier(_Fake("hdfs:///ckpt"), "auto") == "reliable"
+    for mode in ("local", "reliable", "persist"):
+        assert _select_barrier(_Fake("x"), mode) == mode
+    with pytest.raises(ValueError, match="unknown barrier"):
+        _select_barrier(_Fake(None), "magic")
+    # and against the real session: the conftest session has a checkpoint
+    # dir by this point in the module (set above), so auto => reliable
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    assert _select_barrier(spark, "auto") == "reliable"

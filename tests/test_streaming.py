@@ -428,10 +428,16 @@ def test_greedy_novel_distributed_equals_driver_on_chain(spark):
         sig[(i - 1) % 2] = f"link{i-1}" if i > 0 else "solo"
         rows.append((i, sig))
     sigs = spark.createDataFrame(rows, "doc_id long, sig array<string>")
-    dist = sorted(r["doc_id"] for r in
-                  greedy_novel_distributed(sigs).collect())
     seq = sorted(greedy_novel(rows, set()))
-    assert dist == seq == list(range(0, n, 2))
+    # three driver-finish regimes: engaged immediately (default — the
+    # whole chain fits), strictly distributed to convergence (0), and
+    # engaged MID-CHAIN after some distributed rounds (tiny threshold —
+    # exercises the kept_all ∪ driver-tail union on the induced subgraph)
+    for finish_rows in (1_000_000, 0, 6):
+        dist = sorted(r["doc_id"] for r in
+                      greedy_novel_distributed(
+                          sigs, driver_finish_rows=finish_rows).collect())
+        assert dist == seq == list(range(0, n, 2)), finish_rows
 
 
 def test_streaming_neardup_distributed_matches_driver_mode(spark):
@@ -492,8 +498,10 @@ def test_greedy_novel_distributed_nonconvergence_raises(spark):
         sig[(i - 1) % 2] = f"link{i-1}" if i > 0 else "solo"
         rows.append((i, sig))
     sigs = spark.createDataFrame(rows, "doc_id long, sig array<string>")
+    # driver_finish_rows=0: the strictly-distributed path is the one that
+    # can fail to converge (the driver finish would just complete the chain)
     with pytest.raises(RuntimeError, match="did not converge"):
-        greedy_novel_distributed(sigs, max_rounds=3)
+        greedy_novel_distributed(sigs, max_rounds=3, driver_finish_rows=0)
 
 def test_streaming_neardup_out_is_batch_partitioned_and_replay_scoped(spark):
     """Round-6 emit-guard contract: novel output is PARTITIONED by
