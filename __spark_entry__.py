@@ -238,16 +238,19 @@ def _q_ngram_jaccard(spark, sf_dir):
     """Signature table computed ONCE (array form, materialized) and shared
     by the LSH candidate stage — the corpus-scale shape: signatures are
     persisted storage, candidates and verification both read them. The
-    signature-level pre-filter runs with margin 0 — at threshold 0.1 the
-    cut (0.1) sits below the minimum possible estimate (1/8), so it
-    provably drops nothing here (the filter node still executes; its
-    reduction behavior is gated in tests/test_ops.py and measured in
-    BENCH/PIPELINE.md)."""
+    signature-level pre-filter is ACTIVE and ENGAGING here (round 6):
+    threshold 0.3 with margin 0.05 puts the cut at 0.25, i.e. candidates
+    colliding on only 1 of 8 bands (estimate 0.125 < 0.25 — 45% of all
+    candidates at sf0.01) are dropped BEFORE the exact shingle-set join.
+    The oracle stays the PLAIN ground truth (exact jaccard >= 0.3 over all
+    candidates, no prefilter), so a green row proves the margin dropped
+    zero qualifying pairs — the safety property, driver-gated every round
+    on the prefiltered plan."""
     from filterz_spark.ops.dedup import minhash_signature_arrays, ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signature_arrays(docs, num_hashes=8, k=2).localCheckpoint(eager=True)
-    return ngram_jaccard_pairs(docs, k=2, min_jaccard=0.1, signatures=sig,
-                               prefilter_margin=0.0)
+    return ngram_jaccard_pairs(docs, k=2, min_jaccard=0.3, signatures=sig,
+                               prefilter_margin=0.05)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -312,12 +315,22 @@ def _q_train_split(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    from filterz_spark.ops.dedup import lsh_candidate_pairs, minhash_signature_arrays
+    """Full near-dup pipeline shape (round 6): signatures -> LSH candidates
+    -> PREFILTERED exact-jaccard verify (margin 0.05 at threshold 0.3 —
+    the cut drops 1-of-8-band candidates before the shingle-set join) ->
+    connected components over VERIFIED pairs only. The oracle clusters on
+    plain exact jaccard >= 0.3 (no prefilter), so green proves the
+    prefiltered verify stage kept every qualifying edge."""
+    from filterz_spark.ops.dedup import (lsh_candidate_pairs,
+                                         minhash_signature_arrays,
+                                         ngram_jaccard_pairs)
     from filterz_spark.ops.relational import dedup_components
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signature_arrays(docs, num_hashes=8, k=2).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(docs, num_hashes=8, k=2,
-                                signatures=sig).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(docs, num_hashes=8, k=2, signatures=sig)
+    pairs = ngram_jaccard_pairs(docs, k=2, min_jaccard=0.3, signatures=sig,
+                                candidates=cand, prefilter_margin=0.05) \
+        .select("doc_a", "doc_b")
     return dedup_components(pairs, docs.select("doc_id"), max_iters=30)
 
 
@@ -973,8 +986,11 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
             "FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id "
             "JOIN sets sb ON cand.doc_b = sb.doc_id "
+            # plain ground truth at 0.3 — NO prefilter mirrored: the Spark
+            # side runs prefilter_margin=0.05 (cut 0.25, drops 1-band
+            # candidates), so matching proves the margin lost nothing
             "WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
-            "  / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.1"
+            "  / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.3"
         ),
         "cosine_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
@@ -1040,10 +1056,20 @@ def oracle_sql() -> dict[str, str]:
         # component and the closure takes >90min (the SPARK side finishes in
         # seconds; structure cross-checked there with a union-find instead)
         "dedup_clusters": (
+            # clusters over PLAIN exact-jaccard(>=0.3) verified edges — the
+            # Spark side verifies with prefilter_margin=0.05, so matching
+            # proves the prefilter kept every qualifying edge
             f"WITH RECURSIVE sig AS ({minhash_km_sql}), "
-            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "
+            "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a "
             "  JOIN sig b ON a.band = b.band AND a.minhash = b.minhash "
             "  AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            f"sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh "
+            f"  FROM ({shingle_sql}) GROUP BY doc_id), "
+            "p AS (SELECT doc_a, doc_b FROM cand "
+            "  JOIN sets sa ON cand.doc_a = sa.doc_id "
+            "  JOIN sets sb ON cand.doc_b = sb.doc_id "
+            "  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+            "  / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.3), "
             "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p "
             "  UNION SELECT doc_b, doc_a FROM p), "
             "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "

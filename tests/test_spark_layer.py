@@ -139,6 +139,27 @@ class TestExtraction:
                 .filter("text != t2").count()
         assert diff == 0 and a.count() == b.count() == 5_000
 
+    def test_zipf_vocab_leg_deterministic_and_long_tailed(self, spark):
+        """The round-6 realistic-vocabulary leg: parallelism-invariant like
+        the default leg, distinct from it, and actually long-tailed (many
+        more token types than the 5,000-token uniform vocabulary would
+        ever produce on the same row count)."""
+        from pyspark.sql import functions as F
+        z1 = synth_pages(spark, 5_000, 2, vocab="zipf").select("url", "text")
+        z2 = synth_pages(spark, 5_000, 8, vocab="zipf").select("url", "text")
+        diff = z1.join(z2.withColumnRenamed("text", "t2"), "url") \
+                 .filter("text != t2").count()
+        assert diff == 0
+        u = synth_pages(spark, 5_000, 2).select("url", "text")
+        same = z1.join(u.withColumnRenamed("text", "t2"), "url") \
+                 .filter("text = t2").count()
+        assert same == 0, "zipf leg must not reproduce the uniform leg"
+        n_types = (z1.select(F.explode(F.split("text", " ")).alias("t"))
+                   .distinct().count())
+        assert n_types > 20_000, n_types  # uniform leg caps at 5,000
+        with pytest.raises(ValueError, match="unknown vocab"):
+            synth_pages(spark, 10, vocab="nope")
+
 
 class TestSketchAggregation:
     def test_hll_within_bound(self, spark, pages):

@@ -14,6 +14,11 @@ Usage:
     python tools/pipeline_bench.py [n_docs] [cores]        one config, JSON
     python tools/pipeline_bench.py [n_docs] --scaling      8 vs 32 cores via
                                                            subprocesses
+    python tools/pipeline_bench.py [n_docs] --vocab=zipf   realistic 250k-type
+                                                           power-law vocabulary
+                                                           (LSH collision
+                                                           structure of a real
+                                                           web corpus)
 """
 
 from __future__ import annotations
@@ -51,20 +56,21 @@ def _rest_totals(spark) -> dict:
         return {"shuffle_read": 0, "shuffle_write": 0, "input": 0, "output": 0}
 
 
-def _ensure_dataset(spark, n_docs: int) -> str:
+def _ensure_dataset(spark, n_docs: int, vocab: str = "uniform5k") -> str:
     from filterz_spark.sources.pages import synth_pages
-    path = DATA_TMPL.format(n=n_docs)
+    path = DATA_TMPL.format(n=n_docs) + \
+        ("" if vocab == "uniform5k" else f"_{vocab}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.perf_counter()
-        (synth_pages(spark, n_docs)
+        (synth_pages(spark, n_docs, vocab=vocab)
          .select("url", "warc_ts", "text", "lang")
          .write.mode("overwrite").parquet(path))
-        print(f"# generated {n_docs} pages in "
+        print(f"# generated {n_docs} {vocab} pages in "
               f"{time.perf_counter() - t0:.1f}s -> {path}", file=sys.stderr)
     return path
 
 
-def run(n_docs: int, cores: int) -> dict:
+def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
     from pyspark.sql import functions as F
 
     from filterz_spark.ops.dedup import (lsh_candidate_pairs,
@@ -77,7 +83,7 @@ def run(n_docs: int, cores: int) -> dict:
     spark = get_session(cores=cores, app_name=f"pipeline-bench-{cores}",
                         **{"spark.ui.enabled": "true",
                            "spark.ui.showConsoleProgress": "false"})
-    path = _ensure_dataset(spark, n_docs)
+    path = _ensure_dataset(spark, n_docs, vocab)
     pages = spark.read.parquet(path)
     # doc_id is the row counter embedded in the url path (hex) — unique and
     # derivable map-side, no windowed id assignment over the corpus
@@ -178,10 +184,11 @@ def run(n_docs: int, cores: int) -> dict:
     print(f"# prefilter: {n_cand} -> {n_kept} candidates "
           f"({prefilter['drop_factor']}x fewer exactly-verified pairs)",
           file=sys.stderr)
-    if n_docs <= 2_000_000:
-        # exact-verify walls only at rehearsal scales where verify-all is
-        # feasible at all (the point of the prefilter is that it is NOT at
-        # corpus scale); both legs reuse the same checkpointed candidates
+    if n_docs <= 10_000_000:
+        # exact-verify walls up to the 10M rehearsal scale (round 6: the
+        # verify-stage delta is the prefilter's headline evidence — beyond
+        # this the point of the prefilter is that verify-all is NOT
+        # feasible); both legs reuse the same persisted candidates
         measure("jaccard_verify_all", lambda: ngram_jaccard_pairs(
             docs, k=2, min_jaccard=0.8, candidates=cand).count())
         measure("jaccard_verify_prefiltered", lambda: ngram_jaccard_pairs(
@@ -195,7 +202,8 @@ def run(n_docs: int, cores: int) -> dict:
 
     total_wall = sum(s["wall_sec"] for s in stages.values())
     out = {
-        "n_docs": n_docs, "cores": cores, "stages": stages, "skew": skew,
+        "n_docs": n_docs, "cores": cores, "vocab": vocab,
+        "stages": stages, "skew": skew,
         "prefilter": prefilter,
         "composed_docs_per_sec": int(n_docs / stages["curate_composed"]["wall_sec"]),
         "total_wall_sec": round(total_wall, 2),
@@ -207,12 +215,16 @@ def run(n_docs: int, cores: int) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 10_000_000
+    vocab = "uniform5k"
+    for a in sys.argv[1:]:
+        if a.startswith("--vocab="):
+            vocab = a.split("=", 1)[1]
     if "--scaling" in sys.argv:
         results = {}
         for cores in (8, 32):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(n_docs),
-                 str(cores)],
+                 str(cores), f"--vocab={vocab}"],
                 capture_output=True, text=True, timeout=7200)
             sys.stderr.write(p.stderr)
             if p.returncode != 0:
@@ -228,7 +240,7 @@ def main() -> None:
                           "scaling": eff}))
         return
     cores = int(args[1]) if len(args) > 1 else 32
-    print(json.dumps(run(n_docs, cores)))
+    print(json.dumps(run(n_docs, cores, vocab)))
 
 
 if __name__ == "__main__":
