@@ -70,7 +70,8 @@ def _ensure_dataset(spark, n_docs: int, vocab: str = "uniform5k") -> str:
     return path
 
 
-def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
+def run(n_docs: int, cores: int, vocab: str = "uniform5k",
+        shingle_k: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from filterz_spark.ops.dedup import (lsh_candidate_pairs,
@@ -145,16 +146,16 @@ def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
                             shingle_key="xxhash64").count()))
     # default = km_md5 since round 5 (1 md5/shingle); band_md5 kept as the
     # round-1..4 comparison leg so the default-flip delta stays measured
-    sigs = minhash_signature_arrays(docs, num_hashes=8, k=2)
+    sigs = minhash_signature_arrays(docs, num_hashes=8, k=shingle_k)
     measure("minhash_signatures", lambda: noop(sigs))
     measure("minhash_signatures_band", lambda: noop(
-        minhash_signature_arrays(docs, num_hashes=8, k=2,
+        minhash_signature_arrays(docs, num_hashes=8, k=shingle_k,
                                  hash_family="band_md5")))
     measure("minhash_signatures_xxh", lambda: noop(
-        minhash_signature_arrays(docs, num_hashes=8, k=2,
+        minhash_signature_arrays(docs, num_hashes=8, k=shingle_k,
                                  hash_family="km_xxh")))
     measure("lsh_candidate_pairs", lambda: (
-        lsh_candidate_pairs(docs, num_hashes=8, k=2).count()))
+        lsh_candidate_pairs(docs, num_hashes=8, k=shingle_k).count()))
 
     # bucket-skew probe: the largest LSH bucket (what max_bucket_size guards)
     exploded = sigs.select(F.posexplode("sig").alias("band", "minhash"))
@@ -175,7 +176,7 @@ def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
     # DISK_ONLY persist, not localCheckpoint: checkpoint blocks are not
     # CacheManager-registered, so unpersist() on them is a no-op and the
     # pair blocks would stay resident through the curate measurement below
-    cand = lsh_candidate_pairs(docs, num_hashes=8, k=2,
+    cand = lsh_candidate_pairs(docs, num_hashes=8, k=shingle_k,
                                signatures=sigs).persist(StorageLevel.DISK_ONLY)
     n_cand = cand.count()
     n_kept = cand.filter(F.col("n_bands") / 8.0 >= 0.5).count()
@@ -184,16 +185,30 @@ def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
     print(f"# prefilter: {n_cand} -> {n_kept} candidates "
           f"({prefilter['drop_factor']}x fewer exactly-verified pairs)",
           file=sys.stderr)
-    if n_docs <= 10_000_000:
-        # exact-verify walls up to the 10M rehearsal scale (round 6: the
-        # verify-stage delta is the prefilter's headline evidence — beyond
-        # this the point of the prefilter is that verify-all is NOT
-        # feasible); both legs reuse the same persisted candidates
+    # exact-verify walls, gated on the MEASURED candidate count: the
+    # verify join ships both pairs' shingle sets (~1.8 KB/pair of shuffle
+    # at this doc length — 17 GB measured at 9.75M pairs), so verify-all
+    # over the dense-vocab corpus's 244M pairs at 10M docs needs ~425 GB
+    # of shuffle spill and dies on this box's disk (round-6 run log).
+    # That infeasibility IS the prefilter's reason to exist; measuring the
+    # delta requires a pair count whose spill fits. NOT a silent cap: the
+    # skip is logged with the arithmetic.
+    verify_cap = 25_000_000
+    if n_cand <= verify_cap:
         measure("jaccard_verify_all", lambda: ngram_jaccard_pairs(
-            docs, k=2, min_jaccard=0.8, candidates=cand).count())
+            docs, k=shingle_k, min_jaccard=0.8, candidates=cand).count())
         measure("jaccard_verify_prefiltered", lambda: ngram_jaccard_pairs(
-            docs, k=2, min_jaccard=0.8, candidates=cand,
+            docs, k=shingle_k, min_jaccard=0.8, candidates=cand,
             prefilter_margin=0.3).count())
+    else:
+        est_gb = round(n_cand * 1.8e3 / 1e9)
+        print(f"# jaccard_verify legs SKIPPED: {n_cand} candidates x "
+              f"~1.8KB/pair ≈ {est_gb} GB shuffle spill exceeds this "
+              "host's disk (measured 17 GB at 9.75M pairs). The prefilter "
+              f"keeps {n_kept} ({prefilter['drop_factor']}x fewer); at "
+              "corpus scale bound the verify stage with prefilter_margin "
+              "+ max_bucket_size, not wall-clock.", file=sys.stderr)
+        prefilter["verify_skipped_est_shuffle_gb"] = est_gb
     cand.unpersist()
 
     # ---- the composed single-plan pipeline ----
@@ -203,6 +218,7 @@ def run(n_docs: int, cores: int, vocab: str = "uniform5k") -> dict:
     total_wall = sum(s["wall_sec"] for s in stages.values())
     out = {
         "n_docs": n_docs, "cores": cores, "vocab": vocab,
+        "shingle_k": shingle_k,
         "stages": stages, "skew": skew,
         "prefilter": prefilter,
         "composed_docs_per_sec": int(n_docs / stages["curate_composed"]["wall_sec"]),
@@ -216,15 +232,28 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 10_000_000
     vocab = "uniform5k"
+    # shingle_k default: 2 on the dense uniform vocabulary (the pinned
+    # cross-round comparison), 5 on zipf — word 5-grams are the standard
+    # web-dedup shingle; 2-grams of a power-law vocabulary make most docs
+    # share head-token shingles, so every band minhash collapses onto the
+    # few lowest-hashing common shingles and candidate pairs go
+    # quadratic-in-corpus (measured: the 10M zipf k=2 leg exceeded this
+    # host's disk in pair expansion — the dense-vocab artifact inverted)
+    shingle_k = None
     for a in sys.argv[1:]:
         if a.startswith("--vocab="):
             vocab = a.split("=", 1)[1]
+        elif a.startswith("--shingle-k="):
+            shingle_k = int(a.split("=", 1)[1])
+    if shingle_k is None:
+        shingle_k = 5 if vocab == "zipf" else 2
     if "--scaling" in sys.argv:
         results = {}
         for cores in (8, 32):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(n_docs),
-                 str(cores), f"--vocab={vocab}"],
+                 str(cores), f"--vocab={vocab}",
+                 f"--shingle-k={shingle_k}"],
                 capture_output=True, text=True, timeout=7200)
             sys.stderr.write(p.stderr)
             if p.returncode != 0:
@@ -240,7 +269,7 @@ def main() -> None:
                           "scaling": eff}))
         return
     cores = int(args[1]) if len(args) > 1 else 32
-    print(json.dumps(run(n_docs, cores, vocab)))
+    print(json.dumps(run(n_docs, cores, vocab, shingle_k)))
 
 
 if __name__ == "__main__":
