@@ -84,7 +84,13 @@ def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8,
       compute on the DRAM-bound signature pass. NOT DuckDB-reproducible
       (DuckDB has no xxhash64), so it carries no value oracle; set
       semantics (identical dedup decisions) are gated in tests/test_ops.py
-      against the md5 families.
+      against the md5 families. Because xxhash is ALU-cheap, this family
+      is PURE memory traffic: it wins only while bandwidth per core is
+      ample (round-6 controlled probe, BENCH/PIPELINE.md: 1.7x faster
+      than km_md5 at 8 cores on one box, SLOWER at 32 where it saturates
+      the single memory controller and scales 1.16x vs km_md5's 2.99x).
+      On a multi-node cluster each executor brings its own controllers,
+      restoring the advantage.
 
     CHANGED in round 5: the default flipped from ``band_md5`` to
     ``km_md5`` — the builder's own rehearsal identified the 8-md5/shingle
