@@ -229,6 +229,27 @@ def _q_minhash_km_signatures(spark, sf_dir):
                               k=2, hash_family="km_md5")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental crawl dedup (round 6): the documents table split by
+    doc_id parity — even ids stand in for the persisted corpus (its
+    signature store), odd ids for today's batch; keeps batch docs with no
+    (band, minhash) LSH collision against the corpus. The driver-gated
+    flavor passes the corpus signatures in-plan (hermetic); the durable
+    path-store flavor with family-pinned append is pytest-gated
+    (tests/test_ops.py::TestSignatureStore). k=3 shingles: at this
+    fixture's dense 5k-token vocabulary, k=2 LSH collisions swallow all
+    but 2 of the 250 batch docs (BENCH/PIPELINE.md round-6 Zipf analysis:
+    shingle size must be matched to vocabulary) — k=3 keeps both the
+    dropped and the kept set substantial (142/250 novel at sf0.01)."""
+    from filterz_spark.ops.dedup import (dedup_against_store,
+                                         minhash_signature_arrays)
+    d = _t(spark, sf_dir, "documents")
+    corpus_sigs = minhash_signature_arrays(
+        d.filter("doc_id % 2 = 0"), num_hashes=8, k=3)
+    return dedup_against_store(d.filter("doc_id % 2 = 1"), corpus_sigs,
+                               k=3).select("doc_id", "lang")
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
@@ -832,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": _q_latest_events,
         "train_split": _q_train_split,
         "top_users": _q_top_users,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -1049,6 +1071,24 @@ def oracle_sql() -> dict[str, str]:
         "top_users": (
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id "
             "ORDER BY cnt DESC, user_id LIMIT 20"
+        ),
+        # incremental crawl dedup: odd-id batch docs with no (band, minhash)
+        # LSH collision against the even-id corpus's signatures (k=3 — see
+        # the entry docstring for why not the suite's default k=2 here)
+        "dedup_incremental": (
+            "WITH sig AS ("
+            "SELECT doc_id, band, CAST(min(h1 + band * h2) AS VARCHAR) AS minhash "
+            "FROM (SELECT doc_id, "
+            "CAST(concat('0x', substring(md5(shingle), 1, 14)) AS BIGINT) AS h1, "
+            "CAST(concat('0x', substring(md5(shingle), 15, 14)) AS BIGINT) AS h2 "
+            f"FROM ({shingle3_sql('TRUE')})) hh, "
+            "(SELECT CAST(i AS INT) AS band FROM range(0, 8) t(i)) b "
+            "GROUP BY doc_id, band), "
+            "coll AS (SELECT DISTINCT a.doc_id FROM sig a JOIN sig c "
+            "  ON a.band = c.band AND a.minhash = c.minhash "
+            "  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0) "
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 "
+            "AND doc_id NOT IN (SELECT doc_id FROM coll)"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

@@ -262,6 +262,73 @@ def read_signature_store(spark, path: str, *, hash_family: str,
     return spark.read.parquet(path)
 
 
+def dedup_against_store(docs: DataFrame, store, *,
+                        hash_family: str = "km_md5",
+                        num_hashes: int = 8, k: int = 2,
+                        append: bool = False) -> DataFrame:
+    """Incremental near-dedup: docs from a NEW batch that do not LSH-collide
+    with an existing corpus signature store — the "dedup today's crawl
+    against the corpus" step of a growing training set.
+
+    ``store`` is either a PATH to a family-pinned store (as written by
+    ``write_signature_store`` — the marker supplies AND validates
+    hash_family/num_hashes/k, mismatches raise) or an array-form signature
+    DataFrame (as produced by ``minhash_signature_arrays``; the three
+    parameters then describe how it was derived — the caller owns that
+    contract, same as joining any two signature tables).
+
+    Returns ``docs`` (all original columns) minus every doc sharing ANY
+    (band, minhash) bucket with the store. Matching is signature-level
+    (the streaming near-dup's store rule, streaming/neardup.py) — chain
+    ``ngram_jaccard_pairs`` on the dropped set where exact verification
+    is required. Within-batch duplicates are intentionally NOT resolved
+    here (order-dependent greedy semantics belong to the streaming
+    operator; for batch use, run ``exact_dedup``/``dedup_clusters`` over
+    the batch first). A doc whose signatures are ALREADY in the store
+    collides with itself and is dropped, so re-running a partially
+    appended batch is idempotent.
+
+    ``append=True`` (path stores only) appends the KEPT docs' signatures
+    via ``write_signature_store(mode="append")`` — marker re-validated,
+    so a concurrent family flip still fails loudly.
+
+    Scale shape: the batch side explodes to num_hashes rows/doc and
+    semi-joins the store's exploded signatures on (band, minhash) — ONE
+    shuffle on a ~16-byte key, no doc text moves, store never touches the
+    driver. At 100 TB the store side is the big one; Spark's AQE picks
+    the build side, and the join key is the same uniformly-hashed
+    (band, minhash) space the LSH bucket analysis in BENCH/PIPELINE.md
+    bounds (cap degenerate buckets upstream when WRITING the store, via
+    lsh_candidate_pairs' max_bucket_size discipline).
+    """
+    spark = docs.sparkSession
+    if isinstance(store, str):
+        store_arr = read_signature_store(spark, store,
+                                         hash_family=hash_family,
+                                         num_hashes=num_hashes, k=k)
+    else:
+        store_arr = store
+        if append:
+            raise ValueError(
+                "append=True requires a path store (a DataFrame store has "
+                "no durable location to append to)")
+    sig_new = minhash_signature_arrays(docs, num_hashes, k, hash_family)
+    if append:
+        # the append action runs first and would otherwise recompute the
+        # signature pass and the store join for the caller's novel plan
+        sig_new = sig_new.localCheckpoint(eager=False)
+    new_bands = minhash_signatures(docs, signatures=sig_new)
+    store_bands = minhash_signatures(docs, signatures=store_arr)
+    collided = new_bands.join(store_bands, ["band", "minhash"],
+                              "left_semi").select("doc_id")
+    if append:
+        collided = collided.localCheckpoint(eager=False)
+        kept_sigs = sig_new.join(collided, "doc_id", "left_anti")
+        write_signature_store(kept_sigs, store, hash_family=hash_family,
+                              num_hashes=num_hashes, k=k, mode="append")
+    return docs.join(collided, "doc_id", "left_anti")
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 2,
                        signatures: DataFrame | None = None,
                        hash_family: str = "km_md5") -> DataFrame:

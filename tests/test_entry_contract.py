@@ -82,7 +82,8 @@ FIRST_50 = [
     "rolling_fingerprints", "ann_lsh_topk",
 ]
 OVERFLOW = ["bpe_token_counts", "token_counts", "events_hourly",
-            "event_props", "latest_events", "train_split", "top_users"]
+            "event_props", "latest_events", "train_split", "top_users",
+            "dedup_incremental"]
 
 
 def test_first_50_entry_window_is_frozen():

@@ -226,6 +226,60 @@ class TestSignatureStore:
         assert read_signature_store(spark, legacy, hash_family="km_md5") \
             .count() == sigs.count()
 
+    def test_dedup_against_store_path_and_frame(self, spark, docs, tmp_path):
+        """Incremental dedup: batch docs LSH-colliding with the corpus
+        store are dropped; the DataFrame-store and path-store flavors
+        agree; parity split cross-checked against a direct band join."""
+        from filterz_spark.ops.dedup import (dedup_against_store,
+                                             minhash_signature_arrays,
+                                             minhash_signatures,
+                                             write_signature_store)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        corpus_sigs = minhash_signature_arrays(corpus, 8, 2)
+        p = str(tmp_path / "corpus_store")
+        write_signature_store(corpus_sigs, p, hash_family="km_md5",
+                              num_hashes=8, k=2)
+        novel_path = dedup_against_store(batch, p)
+        novel_frame = dedup_against_store(batch, corpus_sigs)
+        got = {r.doc_id for r in novel_path.select("doc_id").collect()}
+        assert got == {r.doc_id
+                       for r in novel_frame.select("doc_id").collect()}
+        # ground truth: batch docs sharing any (band, minhash) with corpus
+        nb = minhash_signatures(batch, 8, 2)
+        cb = minhash_signatures(corpus, 8, 2)
+        dup = {r.doc_id for r in nb.join(cb, ["band", "minhash"], "left_semi")
+               .select("doc_id").distinct().collect()}
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        assert got == batch_ids - dup
+        assert dup, "sf0.01 should produce cross-parity LSH collisions"
+        # original columns survive
+        assert set(novel_path.columns) == set(batch.columns)
+
+    def test_dedup_against_store_append_idempotent(self, spark, docs,
+                                                   tmp_path):
+        """append=True grows the store with the KEPT docs' signatures;
+        re-running the same batch then yields zero novel docs (self-
+        collision), and a family-mismatched store refuses."""
+        from filterz_spark.ops.dedup import (dedup_against_store,
+                                             minhash_signature_arrays,
+                                             write_signature_store)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(100)
+        batch = docs.filter(F.col("doc_id") % 2 == 1).limit(100)
+        p = str(tmp_path / "grow_store")
+        write_signature_store(minhash_signature_arrays(corpus, 8, 2), p,
+                              hash_family="km_md5", num_hashes=8, k=2)
+        novel = dedup_against_store(batch, p, append=True)
+        n_novel = novel.count()
+        assert 0 < n_novel
+        # replay: every batch doc now collides (kept ones with themselves)
+        assert dedup_against_store(batch, p).count() == 0
+        with pytest.raises(RuntimeError, match="hash_family"):
+            dedup_against_store(batch, p, hash_family="band_md5")
+        with pytest.raises(ValueError, match="path store"):
+            dedup_against_store(batch, minhash_signature_arrays(corpus, 8, 2),
+                                append=True)
+
     def test_marker_invisible_to_plain_parquet_read(self, spark, docs,
                                                     tmp_path):
         """The underscore-prefixed marker dir must not leak into a plain
