@@ -250,6 +250,47 @@ def _q_dedup_incremental(spark, sf_dir):
                                k=3).select("doc_id", "lang")
 
 
+def _q_sketch_store_daily_users(spark, sf_dir):
+    """Epoch-partitioned sketch store rollup (round 6,
+    spark/sketch_store.py): events are reduced ONCE per UTC day to a
+    single persisted HLL(p=14) state (KB-sized, executor-side fan-in,
+    dynamic-partition-overwrite idempotent), then distinct-user questions
+    over day ranges are answered by merging ONLY the requested epochs'
+    states — a partition-pruned scan of KB files, never a rescan of the
+    raw events. Probes three deterministic ranges (all days, first half,
+    second half); emits the exact distinct count per range (the
+    SQL-checkable value) plus whether the merged estimate lands within
+    3 standard errors (the published ~1.04/sqrt(2^p) bound)."""
+    import shutil
+    import tempfile
+
+    from filterz_spark.spark.sketch_store import (merge_sketch_range,
+                                                  write_sketch_epoch)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    store = tempfile.mkdtemp(prefix="filterz_sketch_entry_")
+    shutil.rmtree(store)
+    try:
+        for d in days:
+            write_sketch_epoch(ev.where(F.col("day") == d), "user_id",
+                               store, d, kind="hll", params={"p": 14})
+        mid = days[len(days) // 2]
+        rows = []
+        for lo, hi in ((days[0], days[-1]), (days[0], mid), (mid, days[-1])):
+            s = merge_sketch_range(spark, store, epoch_min=lo, epoch_max=hi)
+            exact = ev.where(F.col("day").between(lo, hi)) \
+                .agg(F.countDistinct("user_id")).collect()[0][0]
+            rows.append((lo, hi, int(exact),
+                         bool(abs(s.estimate() - exact)
+                              <= 3 * s.std_error() * exact)))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "epoch_lo string, epoch_hi string, exact_users long, "
+              "within_3se boolean")
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
@@ -854,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "top_users": _q_top_users,
         "dedup_incremental": _q_dedup_incremental,
+        "sketch_store_daily_users": _q_sketch_store_daily_users,
     }
 
 
@@ -1089,6 +1131,31 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0) "
             "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 "
             "AND doc_id NOT IN (SELECT doc_id FROM coll)"
+        ),
+        # the sketch-store estimate itself is non-SQL (HLL registers); the
+        # oracle pins the EXACT per-range counts the entry emits alongside,
+        # plus the bound verdict (TRUE — a violated 3-sigma bound fails the
+        # hash match, same contract as hll_users)
+        "sketch_store_daily_users": (
+            "WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day "
+            "FROM events), "
+            "ord AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS rn "
+            "FROM d), "
+            "mid AS (SELECT day FROM ord WHERE rn = "
+            "  (SELECT count(*) FROM d) // 2), "
+            "ranges AS ("
+            "  SELECT (SELECT min(day) FROM d) AS epoch_lo, "
+            "         (SELECT max(day) FROM d) AS epoch_hi "
+            "  UNION ALL SELECT (SELECT min(day) FROM d), "
+            "                   (SELECT day FROM mid) "
+            "  UNION ALL SELECT (SELECT day FROM mid), "
+            "                   (SELECT max(day) FROM d)) "
+            "SELECT r.epoch_lo, r.epoch_hi, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS within_3se "
+            "FROM ranges r JOIN events e "
+            "ON strftime(e.ts, '%Y-%m-%d') BETWEEN r.epoch_lo AND r.epoch_hi "
+            "GROUP BY r.epoch_lo, r.epoch_hi"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's
