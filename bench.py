@@ -154,6 +154,29 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
         values, "v", "kll", {"k": 200}, value_kind="float").quantile(0.99))
     throughput["sketch_rows_per_sec_hll"] = round(n_keys / queries["hll_distinct"])
 
+    # persisted rollup tier (round 6, spark/sketch_store.py): write one
+    # HLL state per week of events, then answer a 3-week distinct-user
+    # range from the stored KB states alone (partition-pruned merge)
+    import shutil
+    from filterz_spark.spark.sketch_store import (merge_sketch_range,
+                                                  write_sketch_epoch)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
+        .withColumn("epoch", F.concat(F.lit("w"), F.weekofyear("ts"))) \
+        .cache()
+    weeks = sorted(r["epoch"] for r in events.select("epoch").distinct().collect())
+    store_dir = "/tmp/filterz_bench_sketch_store"
+
+    def _store_write():
+        shutil.rmtree(store_dir, ignore_errors=True)
+        for w in weeks:
+            write_sketch_epoch(events.where(F.col("epoch") == w), "user_id",
+                               store_dir, w, kind="hll", params={"p": 14})
+
+    timed("sketch_store_write", _store_write)
+    timed("sketch_store_merge", lambda: merge_sketch_range(
+        spark, store_dir, epoch_min=weeks[1], epoch_max=weeks[-2]).estimate())
+    events.unpersist()
+
     timed("dedup_exact", lambda: exact_dedup(docs).count())
     # library default = km_md5 since round 5 (ONE md5 per shingle; the 10M
     # rehearsal named band_md5's 8 md5s/shingle the pipeline cost center)
