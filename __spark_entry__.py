@@ -291,6 +291,54 @@ def _q_sketch_store_daily_users(spark, sf_dir):
               "within_3se boolean")
 
 
+def _messy_url():
+    """Deterministic messy-URL derivation over documents (the testdata has
+    no URL column): every canonicalization rule in ops/web.py is exercised
+    — case, default/non-default ports, duplicate+trailing slashes,
+    tracking params, param order, fragments, two-level TLDs. The DuckDB
+    oracle derives the SAME urls and canonicalizes them independently."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.element_at(F.array(F.lit("HTTP://WWW."), F.lit("http://www."),
+                             F.lit("https://cdn."), F.lit("http://a.b.")),
+                     (d % 4 + 1).cast("int")),
+        F.col("source"), F.lit(".Example."),
+        F.when(d % 5 == 0, F.lit("CO.UK")).otherwise(F.lit("com")),
+        F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs"),
+        F.when(d % 3 == 0, F.lit("//")).otherwise(F.lit("/")),
+        (d % 100).cast("string"),
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.element_at(F.array(F.lit("?utm_source=x&b=2&a=1"),
+                             F.lit("?b=2&a=1"),
+                             F.lit("?a=1&b=2&fbclid=zz"), F.lit("")),
+                     (d % 4 + 1).cast("int")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup (round 6, ops/web.py): canonicalize (lowercase
+    head, strip default port/fragment/tracking params, sort params,
+    collapse slashes) and keep the min-doc_id survivor per canonical URL
+    — the first dedup pass of any web crawl, run BEFORE any text moves.
+    Map-only canonicalization + ONE window shuffle (plan-gated in
+    tests/test_web.py); the oracle re-implements the documented rule in
+    DuckDB SQL over the identically-derived messy URLs."""
+    from filterz_spark.ops.web import url_dedup
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    return url_dedup(d).select("doc_id", "canonical_url")
+
+
+def _q_host_doc_stats(spark, sf_dir):
+    """Per-host corpus attribution (round 6, ops/web.py): docs + bytes
+    per host with the registrable domain (two-level public-suffix aware)
+    — the budgeting rollup behind per-domain caps. One map-side-combined
+    shuffle on the host key."""
+    from filterz_spark.ops.web import host_stats
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    return host_stats(d, size_col="n_chars")
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
@@ -896,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": _q_top_users,
         "dedup_incremental": _q_dedup_incremental,
         "sketch_store_daily_users": _q_sketch_store_daily_users,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "host_doc_stats": _q_host_doc_stats,
     }
 
 
@@ -930,6 +980,22 @@ def _sql_lang_scores() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # deterministic messy-URL derivation — the independent twin of
+    # _messy_url() (see its docstring)
+    messy_url_sql = (
+        "concat("
+        "CASE doc_id % 4 WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'http://www.' "
+        "WHEN 2 THEN 'https://cdn.' ELSE 'http://a.b.' END, "
+        "source, '.Example.', "
+        "CASE WHEN doc_id % 5 = 0 THEN 'CO.UK' ELSE 'com' END, "
+        "CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END, "
+        "'/docs', CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '/' END, "
+        "CAST(doc_id % 100 AS VARCHAR), "
+        "CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END, "
+        "CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1' "
+        "WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?a=1&b=2&fbclid=zz' "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)")
     shingle_sql = (
         "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1), "
         "i -> array_to_string(w[i:i+1], ' '))) AS shingle "
@@ -1156,6 +1222,58 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranges r JOIN events e "
             "ON strftime(e.ts, '%Y-%m-%d') BETWEEN r.epoch_lo AND r.epoch_hi "
             "GROUP BY r.epoch_lo, r.epoch_hi"
+        ),
+        "url_canonical_dedup": (
+            f"WITH raw AS (SELECT doc_id, {messy_url_sql} AS url "
+            "FROM documents), "
+            "t AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') "
+            "AS u FROM raw), "
+            "h AS (SELECT doc_id, u, "
+            "lower(regexp_extract(u, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) AS head0, "
+            "length(regexp_extract(u, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) AS hl FROM t), "
+            "pr AS (SELECT doc_id, "
+            "regexp_replace(regexp_replace(head0, "
+            "'^(http://[^/:?#]+):80$', '\\1'), "
+            "'^(https://[^/:?#]+):443$', '\\1') AS head, "
+            "substring(u, hl + 1) AS rest FROM h), "
+            "pq AS (SELECT doc_id, head, "
+            "regexp_extract(rest, '^[^?]*') AS path, "
+            "CASE WHEN length(rest) > "
+            "length(regexp_extract(rest, '^[^?]*')) "
+            "THEN substring(rest, length(regexp_extract(rest, '^[^?]*')) + 2) "
+            "ELSE '' END AS query FROM pr), "
+            "c AS (SELECT doc_id, head || "
+            "regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), "
+            "'/+$', '') || "
+            "CASE WHEN qj <> '' THEN '?' || qj ELSE '' END AS canonical_url "
+            "FROM (SELECT *, array_to_string(list_sort(list_filter("
+            "string_split(query, '&'), p -> p <> '' AND NOT "
+            "regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qj "
+            "FROM pq)) "
+            "SELECT doc_id, canonical_url FROM "
+            "(SELECT doc_id, canonical_url, row_number() OVER "
+            "(PARTITION BY canonical_url ORDER BY doc_id) AS rn FROM c) "
+            "WHERE rn = 1"
+        ),
+        "host_doc_stats": (
+            f"WITH raw AS (SELECT doc_id, n_chars, {messy_url_sql} AS url "
+            "FROM documents), "
+            "hh AS (SELECT lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host, n_chars "
+            "FROM raw), "
+            "g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_n_chars FROM hh "
+            "GROUP BY host), "
+            "d AS (SELECT *, string_split(host, '.') AS L, "
+            "CASE WHEN array_to_string("
+            "L[greatest(len(L) - 1, 1):len(L)], '.') IN "
+            "('co.uk','ac.uk','gov.uk','com.au','net.au','co.jp','co.kr',"
+            "'com.br','com.cn','co.in') THEN 3 ELSE 2 END AS take FROM g) "
+            "SELECT host, CASE WHEN len(L) <= take THEN host "
+            "ELSE array_to_string(L[len(L) - take + 1:len(L)], '.') END "
+            "AS domain, n_docs, total_n_chars FROM d"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

@@ -1,0 +1,129 @@
+"""URL/domain operators for web-corpus curation — JVM built-ins only.
+
+Web-scale training pipelines dedup and stratify by URL before any text
+ever moves: canonicalize (case, ports, tracking params, fragments), keep
+one doc per canonical URL, and budget/attribute per host or registered
+domain. Every operator here is pure ``pyspark.sql.functions`` expressions
+(whole-stage codegen, map-only until the one dedup/rollup shuffle) with
+exact ANSI-SQL twins runnable in DuckDB, so each is oracle-checkable by
+the driver harness — same contract as ``ops/text.py``.
+
+Canonicalization rule (documented, deterministic — the point is a STABLE
+dedup key, not RFC 3986 completeness):
+
+1. trim; drop the ``#fragment``;
+2. lowercase the ``scheme://host[:port]`` head (path/query case is
+   preserved — significant on most servers);
+3. strip default ports (``http…:80``, ``https…:443``);
+4. collapse duplicate ``//`` in the path, strip trailing slashes;
+5. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), sort the
+   surviving query params bytewise; an emptied query drops its ``?``.
+
+Idempotence (canonical(canonical(u)) == canonical(u)) is test-gated, and
+the whole rule is cross-checked against an independent stdlib
+``urllib.parse`` implementation in tests/test_web.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+# common two-level public suffixes for the registered-domain heuristic;
+# a real deployment swaps in the full Mozilla public-suffix list — the
+# OPERATOR (suffix-aware label grouping) is what scales, the table is data
+TWO_LEVEL_TLDS = ("co.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+                  "co.jp", "co.kr", "com.br", "com.cn", "co.in")
+
+
+def canonical_url(col) -> Column:
+    """Composable canonical-URL expression (steps in the module docstring).
+
+    Pure per-row JVM string/regexp built-ins — map-only, pushes past the
+    scan; the regex subset used (character classes, alternation, anchors,
+    bounded quantifiers) behaves identically in Java regex and RE2, so the
+    DuckDB oracle twin is exact.
+    """
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    head = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    head_lc = F.lower(head)
+    head_np = F.regexp_replace(
+        F.regexp_replace(head_lc, "^(http://[^/:?#]+):80$", "$1"),
+        "^(https://[^/:?#]+):443$", "$1")
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    path_norm = F.regexp_replace(
+        F.regexp_replace(path, "/{2,}", "/"), "/+$", "")
+    # everything after the FIRST '?' (path is the maximal '?'-free prefix,
+    # so length arithmetic splits correctly even if the query itself holds
+    # a literal '?')
+    query = F.when(rest.contains("?"),
+                   F.substring(rest, F.length(path) + 2, F.lit(1 << 30))
+                   ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qjoined = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head_np, path_norm,
+        F.when(qjoined != "", F.concat(F.lit("?"), qjoined))
+        .otherwise(F.lit("")))
+
+
+def host_of(col) -> Column:
+    """Lowercased host (no port) of a URL — works on raw or canonical."""
+    return F.lower(F.regexp_extract(col, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def registered_domain(col) -> Column:
+    """Registrable domain of a host column: last two labels, or last THREE
+    when the last two form a known two-level public suffix (co.uk etc. —
+    see TWO_LEVEL_TLDS). ``blog.shop.example.co.uk`` -> ``example.co.uk``,
+    ``a.b.example.com`` -> ``example.com``; bare/1-label hosts pass
+    through. Pure split/slice/array built-ins."""
+    labels = F.split(col, "\\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    take = F.when(last2.isin(*TWO_LEVEL_TLDS), F.lit(3)).otherwise(F.lit(2))
+    return F.when(n <= take, col).otherwise(
+        F.array_join(F.slice(labels, n - take + 1, take), "."))
+
+
+def with_canonical_url(docs: DataFrame, url_col: str = "url",
+                       out_col: str = "canonical_url") -> DataFrame:
+    """Project the canonical URL alongside the existing columns (map-only)."""
+    return docs.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """One doc per canonical URL: the survivor is the MINIMUM ``id_col``
+    (deterministic, replay-stable). Returns the input columns plus
+    ``canonical_url``.
+
+    Scale shape: ONE shuffle, hash-partitioned on the canonical string
+    (window row_number, no self-join, no driver state); web URL keys are
+    near-uniform so no salting is needed, and the map-side projection is
+    the only thing that ever touches the raw text columns."""
+    canon = with_canonical_url(docs, url_col)
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+    return (canon.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def host_stats(docs: DataFrame, url_col: str = "url",
+               size_col: str | None = None) -> DataFrame:
+    """Per-host corpus attribution: (host, registered_domain, n_docs[,
+    total_<size_col>]) — the budgeting/stratification rollup (docs per
+    domain caps, per-host quality triage). One map-side-combined shuffle
+    on the host key."""
+    base = docs.select(host_of(F.col(url_col)).alias("host"),
+                       *([F.col(size_col)] if size_col else []))
+    aggs = [F.count("*").alias("n_docs")]
+    if size_col:
+        aggs.append(F.sum(size_col).cast("long").alias(f"total_{size_col}"))
+    cols = ["host", "domain", "n_docs"] + \
+        ([f"total_{size_col}"] if size_col else [])
+    return (base.groupBy("host").agg(*aggs)
+            .withColumn("domain", registered_domain(F.col("host")))
+            .select(*cols))
