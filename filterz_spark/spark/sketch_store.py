@@ -75,19 +75,36 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
                        kind: str, params: dict | None = None,
                        value_kind: str | None = None,
                        states_per_epoch: int = 1,
-                       fanin: int = 32) -> None:
+                       fanin: int = 32,
+                       merge_existing: bool = False) -> None:
     """Reduce one epoch of raw rows to persisted sketch states.
 
     Overwrites ONLY this epoch's partition (dynamic partition overwrite),
     so re-running a failed/changed day replaces that day and nothing
     else — the write is idempotent per (path, epoch).
 
+    ``merge_existing=True`` is the INCREMENTAL mode (streaming
+    foreachBatch appending micro-batches into the current day, or late
+    data trickling into a closed day): the epoch's existing states are
+    folded in as extra partials before the reduction, so the rewritten
+    partition equals old-state ⊔ new-rows. Replace semantics (the
+    default) are for recomputing a day from scratch. NOTE the two modes'
+    replay stories differ: replace is idempotent per (path, epoch);
+    merge_existing composes monotonically, so EXACT re-delivery of the
+    same rows is only a no-op for idempotent-merge sketches (HLL/Bloom
+    max/or — gated in tests) — counting sketches (CMS) double-count a
+    replayed batch, same as any at-least-once counter; guard those with
+    the caller's batch-id watermark (streaming/windowed.py discipline).
+
     The reduction is fully distributed: per-partition partials
     (``partial_states``: one mapInArrow pass, no shuffle of raw rows),
-    then fan-in merge rounds down to ``states_per_epoch`` rows. States
-    never touch the driver. ``states_per_epoch > 1`` keeps residual
-    parallelism for enormous epochs; the default 1 makes range merges
-    read exactly one KB-sized row per epoch.
+    then fan-in merge rounds down to ``states_per_epoch`` rows. The only
+    driver traffic is ``merge_existing`` lifting the epoch's CURRENT
+    states — at most ``states_per_epoch`` KB-sized rows by construction
+    (never data-sized), required because Spark cannot overwrite a
+    partition it is concurrently scanning. ``states_per_epoch > 1``
+    keeps residual parallelism for enormous epochs; the default 1 makes
+    range merges read exactly one KB-sized row per epoch.
     """
     if kind not in SKETCH_KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}: {sorted(SKETCH_KINDS)}")
@@ -121,6 +138,16 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
                 "a fresh path.")
 
     states = partial_states(df, col, kind, params, value_kind)
+    if merge_existing and meta is not None:
+        # lift the epoch's current states off the partition about to be
+        # overwritten (<= states_per_epoch KB rows — bounded by the
+        # constant, never by data size)
+        prior = spark.read.parquet(path) \
+            .where(F.col("epoch") == str(epoch)) \
+            .select("partition_id", "kind", "params", "payload").collect()
+        if prior:
+            states = states.unionByName(
+                spark.createDataFrame(prior, STATE_SCHEMA))
     # executor-side fan-in reduction to `states_per_epoch` rows. Round
     # count is derived from the df partition count (metadata, no job).
     try:
