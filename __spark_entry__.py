@@ -339,6 +339,34 @@ def _q_host_doc_stats(spark, sf_dir):
     return host_stats(d, size_col="n_chars")
 
 
+def _q_boilerplate_removal(spark, sf_dir):
+    """CCNet-style per-group boilerplate stripping (round 6, ops/text.py):
+    lines whose document frequency within their source group reaches
+    max(3, ceil(0.5 * group_docs)) are template, not content. The
+    testdata text is single-line, so the entry derives a deterministic
+    multi-line shape first (8-token chunks + a per-source header/footer
+    the rule must strip); the oracle re-derives and re-implements the
+    whole rule in DuckDB. clean_text is compared via md5 to keep the
+    result frame narrow — still a full-value check."""
+    from filterz_spark.ops.text import remove_boilerplate
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nl = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 8 + 1, 8), " "))
+    d2 = d.select(
+        "doc_id", "source",
+        F.concat(F.lit("header "), "source", F.lit("\n"),
+                 F.array_join(lines_arr, "\n"),
+                 F.lit("\nfooter "), "source").alias("text"))
+    out = remove_boilerplate(d2, group_col="source", min_docs=3,
+                             doc_frac=0.5)
+    return out.select("doc_id", "source",
+                      F.md5("clean_text").alias("clean_md5"),
+                      "n_lines_kept", "n_lines_removed")
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     from filterz_spark.ops.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, k=2)
@@ -946,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_daily_users": _q_sketch_store_daily_users,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "host_doc_stats": _q_host_doc_stats,
+        "boilerplate_removal": _q_boilerplate_removal,
     }
 
 
@@ -1274,6 +1303,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, CASE WHEN len(L) <= take THEN host "
             "ELSE array_to_string(L[len(L) - take + 1:len(L)], '.') END "
             "AS domain, n_docs, total_n_chars FROM d"
+        ),
+        "boilerplate_removal": (
+            "WITH base AS (SELECT doc_id, source, "
+            "concat('header ', source, chr(10), "
+            "array_to_string(list_transform("
+            "range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1), "
+            "i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')), chr(10)), "
+            "chr(10), 'footer ', source) AS t "
+            "FROM (SELECT doc_id, source, string_split(text, ' ') AS w "
+            "FROM documents)), "
+            "lines AS (SELECT doc_id, source, "
+            "unnest(range(1, len(l) + 1)) AS i, unnest(l) AS line "
+            "FROM (SELECT doc_id, source, string_split(t, chr(10)) AS l "
+            "FROM base)), "
+            "freq AS (SELECT source, line, count(DISTINCT doc_id) AS df "
+            "FROM lines GROUP BY 1, 2), "
+            "sizes AS (SELECT source, count(*) AS n_docs FROM base "
+            "GROUP BY 1), "
+            "bp AS (SELECT f.source, f.line FROM freq f JOIN sizes s "
+            "USING (source) "
+            "WHERE df >= greatest(3, CAST(ceil(0.5 * n_docs) AS BIGINT))), "
+            "kept AS (SELECT l.* FROM lines l ANTI JOIN bp b "
+            "ON l.source = b.source AND l.line = b.line), "
+            "reb AS (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY i) AS clean_text, "
+            "CAST(count(*) AS BIGINT) AS n_lines_kept FROM kept "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lines GROUP BY doc_id) "
+            "SELECT d.doc_id, d.source, "
+            "md5(coalesce(r.clean_text, '')) AS clean_md5, "
+            "CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
+            "CAST(t.n_lines - coalesce(r.n_lines_kept, 0) AS BIGINT) "
+            "AS n_lines_removed "
+            "FROM documents d LEFT JOIN reb r USING (doc_id) "
+            "JOIN tot t USING (doc_id)"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

@@ -230,9 +230,15 @@ def run_bench(sf_dir: str, cores: int, parts: int | None = None,
         except Exception:
             scaling = {"detail": "BENCH/BASELINE.md (parse skipped)"}
 
-    total = round(sum(queries.values()), 3)
+    # round-6 legs stay OUT of the headline sum: rounds 1-5 recorded the
+    # headline over the original leg set, and silently growing the sum
+    # would read as a ~50% regression (the "minhash_lsh key" lesson from
+    # the round-5 ADVICE — BENCH/BASELINE.md notes the key semantics)
+    headline_exclude = {"sketch_store_write", "sketch_store_merge"}
+    total = round(sum(v for k, v in queries.items()
+                      if k not in headline_exclude), 3)
     result = {
-        "metric": "headline suite wall seconds (filter builds + probe + sketches + dedup/similarity)",
+        "metric": "headline suite wall seconds (filter builds + probe + sketches + dedup/similarity; round-6 sketch_store legs recorded in queries but excluded from this sum)",
         "value": total,
         "unit": "sec",
         "reps": reps,

@@ -307,3 +307,79 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.bit_xor("wh").alias("fingerprint"))
     )
+
+
+def boilerplate_lines(docs: DataFrame, group_col: str = "source",
+                      min_docs: int = 3, doc_frac: float = 0.5,
+                      line_sep: str = "\n",
+                      join_on_hash: bool = False) -> DataFrame:
+    """Per-group boilerplate line table: (group, line, df) for every line
+    whose document frequency within its group reaches
+    ``max(min_docs, ceil(doc_frac * group_docs))`` — the CCNet-style rule
+    that headers/footers/nav text repeated across a host's pages are
+    template, not content. One map-side-combined shuffle on
+    (group, line); group sizes ride in on a broadcast-sized join."""
+    lines = docs.select(
+        "doc_id", F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col("text"), line_sep)).alias("line"))
+    if join_on_hash:
+        lines = lines.withColumn("line", F.xxhash64("line"))
+    freq = lines.groupBy("grp", "line") \
+        .agg(F.countDistinct("doc_id").alias("df"))
+    sizes = docs.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").alias("n_docs"))
+    thresh = F.greatest(F.lit(min_docs),
+                        F.ceil(F.lit(doc_frac) * F.col("n_docs")))
+    return (freq.join(F.broadcast(sizes), "grp")
+            .where(F.col("df") >= thresh)
+            .select(F.col("grp").alias(group_col), "line", "df"))
+
+
+def remove_boilerplate(docs: DataFrame, group_col: str = "source",
+                       min_docs: int = 3, doc_frac: float = 0.5,
+                       line_sep: str = "\n",
+                       join_on_hash: bool = False) -> DataFrame:
+    """Strip per-group boilerplate lines (see ``boilerplate_lines``) and
+    rebuild each document's text IN ORIGINAL LINE ORDER. Returns
+    (doc_id, <group_col>, clean_text, n_lines_kept, n_lines_removed);
+    documents whose every line is template come back with empty
+    clean_text, not dropped — downstream length/quality filters decide.
+
+    Scale shape: posexplode (map-only) -> one (group, line) shuffle with
+    map-side combine for the frequency table -> left-anti join of the
+    exploded lines against it -> one doc_id shuffle that rebuilds the
+    text via array_sort(collect_list(struct(pos, line))) — pure JVM end
+    to end, no Python stage, no window over the whole corpus.
+    ``join_on_hash=True`` anti-joins on xxhash64(line) instead of the
+    raw string (8-byte shuffle keys instead of line text — the
+    shingle_key="xxhash64" discipline; a 64-bit collision could drop an
+    innocent line, so the default stays exact)."""
+    lines = docs.select(
+        "doc_id", F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col("text"), line_sep))
+        .alias("pos", "line"))
+    key = F.xxhash64("line").alias("k") if join_on_hash \
+        else F.col("line").alias("k")
+    lines = lines.withColumn("k", key)
+    bp = boilerplate_lines(docs, group_col, min_docs, doc_frac, line_sep,
+                           join_on_hash) \
+        .select(F.col(group_col).alias("grp"), F.col("line").alias("k"))
+    kept = lines.join(bp, ["grp", "k"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        line_sep).alias("clean_text"),
+                    F.count("*").alias("n_lines_kept")))
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (docs.select("doc_id", group_col)
+            .join(totals, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id", group_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
