@@ -373,9 +373,11 @@ def remove_boilerplate(docs: DataFrame, group_col: str = "source",
                             lambda s: s["line"]),
                         line_sep).alias("clean_text"),
                     F.count("*").alias("n_lines_kept")))
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (docs.select("doc_id", group_col)
-            .join(totals, "doc_id", "left")
+    # per-doc totals are map-only arithmetic on the original text — no
+    # third explode+shuffle of the corpus for a number split() already knows
+    return (docs.select("doc_id", group_col,
+                        F.size(F.split(F.col("text"), line_sep))
+                        .alias("n_lines"))
             .join(rebuilt, "doc_id", "left")
             .select("doc_id", group_col,
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
