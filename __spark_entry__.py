@@ -339,6 +339,21 @@ def _q_host_doc_stats(spark, sf_dir):
     return host_stats(d, size_col="n_chars")
 
 
+def _q_domain_quota(spark, sf_dir):
+    """Per-host crawl-budget cap (round 6): the ops/web host extraction
+    composed with ops/relational.per_key_quota — keep at most 5 docs per
+    host, chosen by the deterministic md5(seed:id) order, so no single
+    site dominates the mixture. The registrable domain rides along. One
+    window shuffle; same rule re-implemented in the DuckDB oracle."""
+    from filterz_spark.ops.relational import per_key_quota
+    from filterz_spark.ops.web import host_of, registered_domain
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url()) \
+        .withColumn("host", host_of(F.col("url"))) \
+        .withColumn("domain", registered_domain(F.col("host")))
+    return per_key_quota(d, "host", "doc_id", 5) \
+        .select("doc_id", "host", "domain")
+
+
 def _q_boilerplate_removal(spark, sf_dir):
     """CCNet-style per-group boilerplate stripping (round 6, ops/text.py):
     lines whose document frequency within their source group reaches
@@ -975,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "host_doc_stats": _q_host_doc_stats,
         "boilerplate_removal": _q_boilerplate_removal,
+        "domain_quota": _q_domain_quota,
     }
 
 
@@ -1339,6 +1355,25 @@ def oracle_sql() -> dict[str, str]:
             "AS n_lines_removed "
             "FROM documents d LEFT JOIN reb r USING (doc_id) "
             "JOIN tot t USING (doc_id)"
+        ),
+        "domain_quota": (
+            f"WITH raw AS (SELECT doc_id, {messy_url_sql} AS url "
+            "FROM documents), "
+            "h AS (SELECT doc_id, lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host "
+            "FROM raw), "
+            "d AS (SELECT doc_id, host, string_split(host, '.') AS L, "
+            "CASE WHEN array_to_string("
+            "L[greatest(len(L) - 1, 1):len(L)], '.') IN "
+            "('co.uk','ac.uk','gov.uk','com.au','net.au','co.jp','co.kr',"
+            "'com.br','com.cn','co.in') THEN 3 ELSE 2 END AS take FROM h), "
+            "dd AS (SELECT doc_id, host, CASE WHEN len(L) <= take "
+            "THEN host ELSE array_to_string("
+            "L[len(L) - take + 1:len(L)], '.') END AS domain FROM d), "
+            "r AS (SELECT doc_id, host, domain, row_number() OVER ("
+            "PARTITION BY host ORDER BY md5(concat('42', ':', doc_id)), "
+            "doc_id) AS rn FROM dd) "
+            "SELECT doc_id, host, domain FROM r WHERE rn <= 5"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's
