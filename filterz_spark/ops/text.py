@@ -353,7 +353,13 @@ def remove_boilerplate(docs: DataFrame, group_col: str = "source",
     ``join_on_hash=True`` anti-joins on xxhash64(line) instead of the
     raw string (8-byte shuffle keys instead of line text — the
     shingle_key="xxhash64" discipline; a 64-bit collision could drop an
-    innocent line, so the default stays exact)."""
+    innocent line, so the default stays exact).
+
+    The corpus is SCANNED twice (frequency pass + strip pass) — intrinsic
+    to the exact global rule, which must see every group's counts before
+    any line can be dropped. Both passes read only (doc_id, group, text)
+    thanks to column pruning; at 100 TB, persist that projection first if
+    the scan itself dominates."""
     lines = docs.select(
         "doc_id", F.col(group_col).alias("grp"),
         F.posexplode(F.split(F.col("text"), line_sep))
