@@ -339,6 +339,33 @@ def _q_host_doc_stats(spark, sf_dir):
     return host_stats(d, size_col="n_chars")
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII masking (round 6, ops/text.redact_pii): emails / IPv4s /
+    phone-shaped strings replaced with [PII-<kind>] tokens, per-kind
+    counts emitted. The testdata has no PII, so deterministic specimens
+    are appended first (varying by doc_id residues so counts are 0/1
+    mixes); the oracle re-derives and applies the same ordered
+    replace-and-count chain in DuckDB. redacted text compared via md5."""
+    from filterz_spark.ops.text import redact_pii
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 2 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@mail.example.com"))).otherwise(F.lit("")),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" from 10."), (did % 200).cast("string"),
+                            F.lit(".0.7"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit(""))).alias("text"))
+    return redact_pii(d2).select(
+        "doc_id", F.md5("redacted_text").alias("redacted_md5"),
+        "n_email", "n_ipv4", "n_phone")
+
+
 def _q_domain_quota(spark, sf_dir):
     """Per-host crawl-budget cap (round 6): the ops/web host extraction
     composed with ops/relational.per_key_quota — keep at most 5 docs per
@@ -991,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_doc_stats": _q_host_doc_stats,
         "boilerplate_removal": _q_boilerplate_removal,
         "domain_quota": _q_domain_quota,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1374,6 +1402,32 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY host ORDER BY md5(concat('42', ':', doc_id)), "
             "doc_id) AS rn FROM dd) "
             "SELECT doc_id, host, domain FROM r WHERE rn <= 5"
+        ),
+        "pii_redaction": (
+            "WITH raw AS (SELECT doc_id, concat(text, "
+            "CASE WHEN doc_id % 2 = 0 THEN concat(' contact user', doc_id, "
+            "'@mail.example.com') ELSE '' END, "
+            "CASE WHEN doc_id % 3 = 0 THEN concat(' from 10.', "
+            "doc_id % 200, '.0.7') ELSE '' END, "
+            "CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' "
+            "ELSE '' END) AS t FROM documents), "
+            "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[PII-email]', 'g') AS t1 FROM raw), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', "
+            "'[PII-ipv4]', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_ipv4, "
+            "CAST(len(regexp_extract_all(t2, "
+            "'\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone, "
+            "regexp_replace(t2, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', "
+            "'[PII-phone]', 'g') AS t3 FROM s2) "
+            "SELECT doc_id, md5(t3) AS redacted_md5, n_email, n_ipv4, "
+            "n_phone FROM s3"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

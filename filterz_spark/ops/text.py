@@ -391,3 +391,34 @@ def remove_boilerplate(docs: DataFrame, group_col: str = "source",
                     .alias("n_lines_kept"),
                     (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
                     .cast("long").alias("n_lines_removed")))
+
+
+# deterministic redaction rule: kinds applied IN THIS ORDER, each count
+# measured on the text as it stands just before that kind's replacement
+# (order matters where patterns could overlap — e.g. dotted phone vs ipv4).
+# Patterns use only the Java-regex/RE2 common subset (positive classes,
+# non-capturing groups, \b, bounded quantifiers) so the DuckDB oracle twin
+# is exact; see also the negated-class pathology note in normalize_text.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               replacement: str = "[PII-{kind}]") -> DataFrame:
+    """Mask common PII shapes before training-set emission: returns the
+    input columns (minus ``text_col``) plus ``redacted_text`` and one
+    ``n_<kind>`` count per pattern. Pure per-row JVM regexp built-ins —
+    map-only, no shuffle, pushes past the scan; the counts let a
+    downstream policy drop documents that are PII-dense rather than
+    merely masking them."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+                      .cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, replacement.format(kind=kind))
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, cur.alias("redacted_text"), *counts)

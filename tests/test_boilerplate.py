@@ -73,3 +73,36 @@ class TestPlan:
             .executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+class TestRedactPii:
+    CASES = [
+        (1, "mail me at a.b+c_1@sub.example.org today"),
+        (2, "server 192.168.0.1 then call 555-123-4567"),
+        (3, "dotted phone 555.123.4567 vs ip 10.0.0.7"),
+        (4, "nothing sensitive here"),
+        (5, "two mails x@y.io and z@w.co plus 1.2.3.4"),
+    ]
+
+    def test_counts_and_masking(self, spark):
+        from filterz_spark.ops.text import redact_pii
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        assert got[1]["n_email"] == 1 and "[PII-email]" in got[1]["redacted_text"]
+        assert "@" not in got[1]["redacted_text"].replace("[PII-email]", "")
+        assert got[2]["n_ipv4"] == 1 and got[2]["n_phone"] == 1
+        assert got[2]["redacted_text"] == \
+            "server [PII-ipv4] then call [PII-phone]"
+        # order rule: ipv4 runs before phone, so a dotted phone that also
+        # parses as neither stays phone; the dotted IP is ipv4
+        assert got[3]["n_ipv4"] == 1 and got[3]["n_phone"] == 1
+        assert got[4]["n_email"] == got[4]["n_ipv4"] == got[4]["n_phone"] == 0
+        assert got[4]["redacted_text"] == "nothing sensitive here"
+        assert got[5]["n_email"] == 2 and got[5]["n_ipv4"] == 1
+
+    def test_map_only_jvm(self, spark):
+        from filterz_spark.ops.text import redact_pii
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        p = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Exchange" not in p
