@@ -366,6 +366,61 @@ def _q_pii_redaction(spark, sf_dir):
         "n_email", "n_ipv4", "n_phone")
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence line dedup (round 6, RefinedWeb /
+    MassiveText line-dedup pass — ops/text.dedup_lines). The testdata
+    text is single-line, so the entry derives the same deterministic
+    8-token-chunk multi-line shape the boilerplate entry uses; the
+    ~100-word vocabulary makes cross-document chunk collisions dense, so
+    the rule engages heavily (most later copies drop). The oracle
+    re-derives the chunks and re-implements the first-occurrence window
+    in DuckDB; clean_text compared via md5."""
+    from filterz_spark.ops.text import dedup_lines
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nl = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 8 + 1, 8), " "))
+    d2 = d.select("doc_id", F.array_join(lines_arr, "\n").alias("text"))
+    out = dedup_lines(d2)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                      "n_lines_kept", "n_lines_removed")
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (round 6 — ops/similarity.semdedup) in the
+    deterministic-assignment regime: the embeddings table's integer
+    ``label`` column serves as the coarse cluster partition, so the
+    oracle re-derives the assignment exactly and the full drop rule
+    (smaller-id same-cluster mate at cosine >= 0.3) is value-checked
+    end to end. The trained path (ivf_train centroids -> map-only
+    ivf_assign) is gated in tests/test_ops.py, where assignment
+    determinism isn't oracle-constrained."""
+    from filterz_spark.ops.similarity import semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.3, cluster_col="label")
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus top-20 bigrams (round 6 — ops/text.top_ngrams): one
+    map-side-combined shuffle + TakeOrdered; count-desc, shingle-asc
+    tiebreak makes the boundary deterministic on both engines."""
+    from filterz_spark.ops.text import top_ngrams
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Per-source token-budget mixture sampling (round 6 —
+    ops/relational.token_budget_sample): keep the maximal md5-ordered
+    prefix of each source whose running whitespace-token total stays
+    within 700 (~half of each source's ~1.4k tokens at sf0.01). Same
+    deterministic hash order as per_key_quota; ONE window shuffle."""
+    from filterz_spark.ops.relational import token_budget_sample
+    return token_budget_sample(_t(spark, sf_dir, "documents"), budget=700,
+                               group_col="source", id_col="doc_id")
+
+
 def _q_domain_quota(spark, sf_dir):
     """Per-host crawl-budget cap (round 6): the ops/web host extraction
     composed with ops/relational.per_key_quota — keep at most 5 docs per
@@ -1019,6 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": _q_boilerplate_removal,
         "domain_quota": _q_domain_quota,
         "pii_redaction": _q_pii_redaction,
+        "line_dedup": _q_line_dedup,
+        "semdedup": _q_semdedup,
+        "top_ngrams": _q_top_ngrams,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -1428,6 +1487,60 @@ def oracle_sql() -> dict[str, str]:
             "'[PII-phone]', 'g') AS t3 FROM s2) "
             "SELECT doc_id, md5(t3) AS redacted_md5, n_email, n_ipv4, "
             "n_phone FROM s3"
+        ),
+        "line_dedup": (
+            "WITH base AS (SELECT doc_id, array_to_string(list_transform("
+            "range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1), "
+            "i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')), chr(10)) "
+            "AS t FROM (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents)), "
+            "lines AS (SELECT doc_id, "
+            "unnest(range(1, len(l) + 1)) AS i, unnest(l) AS line "
+            "FROM (SELECT doc_id, string_split(t, chr(10)) AS l "
+            "FROM base)), "
+            "r AS (SELECT doc_id, i, line, row_number() OVER ("
+            "PARTITION BY line ORDER BY doc_id, i) AS rn FROM lines), "
+            "kept AS (SELECT doc_id, i, line FROM r WHERE rn = 1), "
+            "reb AS (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY i) AS clean_text, "
+            "CAST(count(*) AS BIGINT) AS n_lines_kept FROM kept "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lines GROUP BY doc_id) "
+            "SELECT t.doc_id, md5(coalesce(r2.clean_text, '')) AS clean_md5, "
+            "CAST(coalesce(r2.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
+            "CAST(t.n_lines - coalesce(r2.n_lines_kept, 0) AS BIGINT) "
+            "AS n_lines_removed "
+            "FROM tot t LEFT JOIN reb r2 USING (doc_id)"
+        ),
+        "semdedup": (
+            "WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS cluster, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "dropped AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b "
+            "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3) "
+            "SELECT e.vec_id, e.cluster, (d.vec_id IS NULL) AS kept "
+            "FROM e LEFT JOIN dropped d USING (vec_id)"
+        ),
+        "top_ngrams": (
+            f"SELECT shingle, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM ({shingle_sql}) GROUP BY shingle "
+            "ORDER BY cnt DESC, shingle LIMIT 20"
+        ),
+        "mixture_sample": (
+            "WITH t AS (SELECT doc_id, source, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY md5(concat('42', ':', doc_id)), doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_tokens FROM t) "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens "
+            "FROM c WHERE cum_tokens <= 700"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

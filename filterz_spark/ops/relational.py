@@ -233,6 +233,44 @@ def per_key_quota(df: DataFrame, group_col: str, id_col: str,
             .filter(F.col("__rn") <= max_per_group).drop("__rn"))
 
 
+def token_budget_sample(df: DataFrame, budget: int, group_col: str = "source",
+                        id_col: str = "doc_id", token_col: str | None = None,
+                        text_col: str = "text",
+                        seed: str = "42") -> DataFrame:
+    """Per-group token-budget mixture sampling: within each group, order
+    rows by md5(seed:id) (id tiebreak — the same deterministic order as
+    ``per_key_quota``) and keep the maximal PREFIX whose running token
+    total stays within ``budget``. This is how a training mixture is
+    assembled from per-source token targets ("200B tokens of web, 30B of
+    code"): the kept set is a pure function of (seed, ids, token counts),
+    reproducible across engines and partitionings, and unbiased w.r.t.
+    crawl order.
+
+    Prefix semantics, not knapsack: once the running total passes the
+    budget, NO later row in the hash order is admitted even if it would
+    individually fit — so the boundary is a single deterministic cut and
+    re-running with a larger budget strictly extends the kept set
+    (monotonicity, the property that lets a mixture be grown
+    incrementally without resampling what's already chosen).
+
+    ``token_col`` names a precomputed token-count column; otherwise
+    whitespace tokens of ``text_col`` are counted inline (map-only).
+    Returns (id, group, n_tokens, cum_tokens) for the kept rows. ONE
+    shuffle (the window partition); a group's cost is its own row count.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = (F.col(token_col).cast("long") if token_col
+             else F.size(F.split(F.col(text_col), " ")).cast("long"))
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(id_col, group_col, n_tok.alias("n_tokens"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget))
+
+
 def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
                       value_col: str = "value",
                       resolutions: tuple = ("hour", "day")) -> DataFrame:

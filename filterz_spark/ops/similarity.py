@@ -269,35 +269,102 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                         cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
 
-    g = 8  # salt groups: a hot bucket of b rows fans out over g(g+1)/2 tasks
     buckets = lsh_buckets(embeddings, num_planes, vec_col, id_col)
-    e = (normed.join(buckets, id_col)
-         .withColumn("grp", F.pmod(F.xxhash64(id_col), F.lit(g)).cast("int")))
+    e = normed.join(buckets, id_col)
+    return _salted_pair_join(e, id_col, ["bucket"]) \
+        .filter(F.col("cosine") >= threshold)
+
+
+def _salted_pair_join(e: DataFrame, id_col: str, key_cols: list,
+                      g: int = 8) -> DataFrame:
+    """All unordered within-key cosine pairs of ``e`` — which must carry
+    (id_col, __v double-array, __n norm, *key_cols) — as
+    (id_a, id_b, cosine), id_a < id_b, each pair exactly once.
+
+    The within-key comparison is SALTED: each row carries a hash-derived
+    group in [0, g) and the join runs per ordered group pair, so one hot
+    key of b rows fans out over ~g(g+1)/2 tasks instead of landing on a
+    single reducer (the skew problem a degenerate LSH bucket or a huge
+    semantic cluster creates at corpus scale)."""
+    e = e.withColumn("grp", F.pmod(F.xxhash64(id_col), F.lit(g)).cast("int"))
     # replicate each row onto every ordered group pair it belongs to: the
-    # join key becomes (bucket, gi, gj), so a degenerate bucket's pairs
+    # join key becomes (*key_cols, gi, gj), so a degenerate key's pairs
     # spread over g(g+1)/2 shuffle keys instead of one reducer
     a_side = e.select(
         F.col(id_col).alias("id_a_raw"), F.col("__v").alias("va_raw"),
         F.col("__n").alias("na"),
-        "bucket", F.col("grp").alias("gi"),
+        *key_cols, F.col("grp").alias("gi"),
         F.explode(F.sequence(F.col("grp"), F.lit(g - 1))).alias("gj"))
     b_side = e.select(
         F.col(id_col).alias("id_b_raw"), F.col("__v").alias("vb_raw"),
         F.col("__n").alias("nb"),
-        "bucket", F.explode(F.sequence(F.lit(0), F.col("grp"))).alias("gi"),
+        *key_cols, F.explode(F.sequence(F.lit(0), F.col("grp"))).alias("gi"),
         F.col("grp").alias("gj"))
-    joined = a_side.join(b_side, ["bucket", "gi", "gj"]).filter(
+    joined = a_side.join(b_side, [*key_cols, "gi", "gj"]).filter(
         # same group pair: dedupe by id order; cross pair appears once
         (F.col("gi") < F.col("gj")) | (F.col("id_a_raw") < F.col("id_b_raw")))
     cos = F.round(_dot_expr(F.col("va_raw"), F.col("vb_raw"))
                   / (F.col("na") * F.col("nb")), 6)
-    # each row carries ONE bucket and each unordered pair matches exactly
+    # each row carries ONE key and each unordered pair matches exactly
     # one (gi, gj) replica combination, so no dedup pass is needed
-    return (joined.select(
+    return joined.select(
         F.least("id_a_raw", "id_b_raw").alias("id_a"),
         F.greatest("id_a_raw", "id_b_raw").alias("id_b"),
         cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold))
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95, *,
+             cluster_col: str | None = None,
+             centroids: np.ndarray | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, compare
+    vectors ONLY within their cluster, and drop every vector that has a
+    SMALLER-ID cluster-mate with cosine >= threshold — the released
+    SemDeDup implementation's triangular rule (each vector checks its
+    max similarity to lower-indexed cluster-mates; whether that mate is
+    itself dropped does not matter), so the kept set is a pure function
+    of (assignment, threshold), not of iteration order. Returns
+    (id, cluster, kept boolean) for every input vector.
+
+    Pass EXACTLY ONE of:
+      - ``cluster_col``: an existing integer assignment column on
+        ``embeddings`` (a precomputed k-means partition, a label, a
+        shard) — used as-is, zero extra scans; or
+      - ``centroids``: (n_clusters, dim) from ``ivf_train`` — assignment
+        runs map-only via ``ivf_assign`` (Arrow-batched matmul,
+        carry_vec, no corpus join).
+
+    Scale shape: the cross join that makes all-pairs semantic dedup
+    impossible at 10^9 vectors is cut to within-cluster pairs (the whole
+    point of the paper — cost sum(|c|^2) instead of n^2, controlled by
+    n_clusters), and the within-cluster join is the SALTED group-pair
+    join shared with ``cosine_near_dup_pairs``, so one giant cluster
+    fans out over g(g+1)/2 tasks instead of one reducer. The final
+    kept-flag is a broadcast-friendly left join of the (tiny) dropped-id
+    set. Size n_clusters so avg |c| stays O(10^4-10^5) at target scale.
+    """
+    if (cluster_col is None) == (centroids is None):
+        raise ValueError("pass exactly one of cluster_col / centroids")
+    if cluster_col is not None:
+        assigned = embeddings.select(
+            F.col(id_col), F.col(cluster_col).cast("int").alias("cluster"),
+            F.col(vec_col))
+    else:
+        assigned = ivf_assign(embeddings, np.asarray(centroids, np.float64),
+                              vec_col, id_col, carry_vec=True)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    normed = assigned.select(
+        F.col(id_col), "cluster", vd.alias("__v"),
+        F.sqrt(_dot_expr(vd, vd)).alias("__n"))
+    dropped = (_salted_pair_join(normed, id_col, ["cluster"])
+               .filter(F.col("cosine") >= threshold)
+               .select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("__dropped", F.lit(True)))
+    return (normed.select(id_col, "cluster")
+            .join(dropped, id_col, "left")
+            .select(id_col, "cluster",
+                    F.col("__dropped").isNull().alias("kept")))
 
 
 def pq_train(embeddings: DataFrame, m: int = 4, k_sub: int = 16,

@@ -393,6 +393,91 @@ def remove_boilerplate(docs: DataFrame, group_col: str = "source",
                     .cast("long").alias("n_lines_removed")))
 
 
+def dedup_lines(docs: DataFrame, line_sep: str = "\n",
+                scope_col: str | None = None,
+                join_on_hash: bool = False) -> DataFrame:
+    """Corpus-wide first-occurrence line dedup (the RefinedWeb /
+    MassiveText line-dedup pass — a different rule from
+    ``remove_boilerplate``: that one drops lines FREQUENT within a group,
+    this one keeps exactly ONE copy of every line corpus-wide): each
+    distinct line survives only at its first occurrence in (doc_id, pos)
+    order; every later copy in any document is dropped, and each
+    document's text is rebuilt in original line order. Returns
+    (doc_id, clean_text, n_lines_kept, n_lines_removed); fully-deduped
+    documents come back with empty clean_text, not dropped — downstream
+    length filters decide.
+
+    ``scope_col`` restricts the rule to within-group first-occurrence
+    (e.g. per-source) instead of global. ``join_on_hash=True`` ranks
+    lines by their xxhash64 instead of the raw string — 8-byte shuffle
+    keys instead of line text, the ``shingle_key="xxhash64"`` discipline;
+    a 64-bit collision could wrongly drop a distinct line, so the
+    default stays exact.
+
+    Scale shape: posexplode (map-only) -> ONE window shuffle partitioned
+    by the line key (row_number picks the global winner — no separate
+    winner table + join-back, which would shuffle the lines a second
+    time) -> one doc_id shuffle rebuilding the text via
+    array_sort(collect_list(struct(pos, line))) -> per-doc totals join
+    computed map-only from split() (doc-count rows, not line-count).
+    Pure JVM end to end. The window partition key is the line itself, so
+    a pathological line repeated across the whole corpus lands on one
+    reducer — but row_number over it is O(copies) with no buffering of
+    line text beyond the partition scan, and AQE splits skewed
+    partitions; the hashed mode narrows the key to 8 bytes."""
+    lines = docs.select(
+        "doc_id",
+        *([F.col(scope_col).alias("__scope")] if scope_col else []),
+        F.posexplode(F.split(F.col("text"), line_sep)).alias("pos", "line"))
+    key = F.xxhash64("line") if join_on_hash else F.col("line")
+    part = (["__scope", "__k"] if scope_col else ["__k"])
+    w = Window.partitionBy(*part).orderBy(F.col("doc_id").asc(),
+                                          F.col("pos").asc())
+    kept = (lines.withColumn("__k", key)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        line_sep).alias("clean_text"),
+                    F.count("*").alias("n_lines_kept")))
+    return (docs.select("doc_id",
+                        F.size(F.split(F.col("text"), line_sep))
+                        .alias("n_lines"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams: (shingle, cnt), count-desc with
+    the shingle string as the deterministic tiebreak — the frequency
+    table a curation pipeline reads to spot boilerplate phrases, crawl
+    artifacts, and contamination markers before writing filter rules.
+
+    Scale shape: the shingle expansion is a per-row expression (no
+    shuffle), the count is ONE map-side-combined shuffle on the shingle,
+    and the top-k is a TakeOrdered (per-partition heaps, k rows to the
+    driver) — never a global sort of the frequency table. Occurrences
+    count multiplicity (a doc repeating a phrase contributes each copy);
+    wrap with countDistinct on doc_id instead if document frequency is
+    wanted."""
+    from .dedup import shingle_array
+    counted = (docs.select(F.explode(shingle_array(n, text_col))
+                           .alias("shingle"))
+               .groupBy("shingle").agg(F.count("*").alias("cnt")))
+    return counted.orderBy(F.col("cnt").desc(), F.col("shingle").asc()) \
+        .limit(k)
+
+
 # deterministic redaction rule: kinds applied IN THIS ORDER, each count
 # measured on the text as it stands just before that kind's replacement
 # (order matters where patterns could overlap — e.g. dotted phone vs ipv4).
