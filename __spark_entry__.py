@@ -421,6 +421,19 @@ def _q_mixture_sample(spark, sf_dir):
                                group_col="source", id_col="doc_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (round 6 — ops/pack.pack_sequences):
+    documents concatenated in md5(42:id) order and chunked every 64
+    tokens, emitted as the (seq_id, doc slice) manifest. The Spark side
+    computes the stream offsets with the distributed two-phase prefix
+    sum (range partition + local cumsum + broadcast partition prefixes —
+    never a global single-reducer window); the oracle recomputes them
+    with DuckDB's single-node window, so a green row proves the
+    distributed prefix sum equals the sequential one."""
+    from filterz_spark.ops.pack import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64)
+
+
 def _q_domain_quota(spark, sf_dir):
     """Per-host crawl-budget cap (round 6): the ops/web host extraction
     composed with ops/relational.per_key_quota — keep at most 5 docs per
@@ -1078,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "top_ngrams": _q_top_ngrams,
         "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1541,6 +1555,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_tokens, "
             "CAST(cum_tokens AS BIGINT) AS cum_tokens "
             "FROM c WHERE cum_tokens <= 700"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n, "
+            "md5(concat('42', ':', doc_id)) AS h FROM documents), "
+            "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n "
+            "AS BIGINT) AS s FROM t WHERE n > 0), "
+            "sp AS (SELECT doc_id, n, s, "
+            "unnest(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id "
+            "FROM o) "
+            "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, "
+            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) "
+            "AS seq_pos, "
+            "CAST(greatest(s, seq_id * 64) - s AS BIGINT) AS doc_begin, "
+            "CAST(least(s + n, seq_id * 64 + 64) - "
+            "greatest(s, seq_id * 64) AS BIGINT) AS slice_len "
+            "FROM sp"
         ),
         # NOTE: this recursive closure enumerates O(sum cluster_size^2)
         # tuples single-threaded in DuckDB — exact and fine at the driver's

@@ -136,6 +136,83 @@ class TestTokenBudgetSample:
             token_budget_sample(docs, budget=0)
 
 
+class TestPackSequences:
+    L = 16
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # lengths 1..20 tokens: several straddle the 16-token boundary,
+        # doc 19 (20+1 tokens) can span two sequences on its own
+        rows = [(i, "w " * i + "end") for i in range(20)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_offsets_match_sequential_rule(self, spark, docs):
+        from filterz_spark.ops.pack import token_offsets
+        got = {r["doc_id"]: r for r in token_offsets(docs).collect()}
+        ordered = (docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n"),
+            F.md5(F.concat_ws(":", F.lit("42"), F.col("doc_id"))).alias("h"))
+            .sort("h", "doc_id").collect())
+        acc = 0
+        for r in ordered:
+            assert got[r["doc_id"]]["start_offset"] == acc
+            assert got[r["doc_id"]]["n_tokens"] == r["n"]
+            acc += r["n"]
+
+    def test_slices_reconstruct_docs_and_fill_sequences(self, spark, docs):
+        from filterz_spark.ops.pack import pack_sequences
+        rows = pack_sequences(docs, seq_len=self.L).collect()
+        by_doc: dict = {}
+        by_seq: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        # per doc: slices contiguous from 0, summing to its token count
+        n_tok = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")).collect()}
+        for did, sl in by_doc.items():
+            sl.sort(key=lambda r: r["doc_begin"])
+            assert sl[0]["doc_begin"] == 0
+            for a, b in zip(sl, sl[1:]):
+                assert a["doc_begin"] + a["slice_len"] == b["doc_begin"]
+            assert sum(r["slice_len"] for r in sl) == n_tok[did]
+        # per sequence: slices tile [0, L) exactly (short last seq allowed)
+        last = max(by_seq)
+        for sid, sl in by_seq.items():
+            sl.sort(key=lambda r: r["seq_pos"])
+            assert sl[0]["seq_pos"] == 0
+            for a, b in zip(sl, sl[1:]):
+                assert a["seq_pos"] + a["slice_len"] == b["seq_pos"]
+            total = sum(r["slice_len"] for r in sl)
+            assert total == self.L or (sid == last and total < self.L)
+
+    def test_deterministic_under_repartition(self, spark, docs):
+        from filterz_spark.ops.pack import pack_sequences
+        a = sorted(map(tuple, pack_sequences(docs, seq_len=self.L).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            docs.repartition(7), seq_len=self.L).collect()))
+        assert a == b
+
+    def test_long_doc_straddles_many(self, spark):
+        from filterz_spark.ops.pack import pack_sequences
+        df = spark.createDataFrame([(1, "w " * 49 + "end")],
+                                   "doc_id long, text string")
+        rows = pack_sequences(df, seq_len=self.L).collect()
+        assert len(rows) == 4  # 50 tokens over 16-token seqs
+
+    def test_validation_and_zero_token_rows(self, spark):
+        from filterz_spark.ops.pack import pack_sequences, token_offsets
+        df = spark.createDataFrame([(1, "a b"), (2, None)],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(df, seq_len=0)
+        d = df.withColumn("nt", F.when(F.col("text").isNotNull(),
+                                       F.size(F.split("text", " ")))
+                          .otherwise(F.lit(0)).cast("long"))
+        out = token_offsets(d, token_col="nt").collect()
+        assert [r["doc_id"] for r in out] == [1]  # zero-token row excluded
+
+
 class TestSemDedup:
     # two well-separated clusters in 2-D; ids ordered so the triangular
     # rule is distinguishable from connected-components semantics
