@@ -434,6 +434,71 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64)
 
 
+def _synth_html():
+    """Deterministic HTML wrapping of documents.text (the testdata has no
+    HTML column): exercises every extraction rule in ops/html.py — script
+    with a '<' comparison and a stringified close-tag, style, comment with
+    a tag inside, block tags, inline tags, every portable entity. The
+    DuckDB oracle derives the SAME html and extracts it independently via
+    the generated twin chain."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><style type=\"text/css\">body { color: #fff; }"
+              "</style><script>if (1 < 2) { var s = \"</div>\"; }"
+              "</script></head><body><h1 id=\"t\">Doc "), d,
+        F.lit("</h1><!-- nav <p> skipped --><div class='main'><p>"),
+        F.col("text"),
+        F.lit("</p><br/><ul><li>A &amp; B</li><li>x &lt;= y</li></ul>"
+              "</div><p>&nbsp;tail&#39;s &quot;q&quot;</p></body></html>"))
+
+
+def _q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (round 6, ops/html.py): the first
+    transform of a crawl pipeline — drop script/style/comment blocks,
+    block tags to newlines, strip remaining markup, decode the portable
+    entity list, normalize whitespace. Map-only JVM regexp chain
+    (plan-gated); the Spark expression and the DuckDB twin are generated
+    from the SAME step tables, and the oracle runs the twin on
+    identically-derived HTML. Extracted text compared via md5 (newlines
+    in values), same as boilerplate_removal."""
+    from filterz_spark.ops.html import extract_html_text
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", _synth_html().alias("html"))
+    return extract_html_text(d).select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact substring-dedup stats (round 6, ops/dedup.duplicate_spans —
+    the Lee et al. arXiv:2107.06499 signal): every 8-token span is owned
+    by the first doc containing it; later occurrences are duplicated
+    spans. Map-only span fan-out hashed to 8-byte keys before the ONE
+    analytic-window shuffle (min-owner per span), then a groupBy doc_id.
+    The oracle recomputes the same ownership rule in DuckDB."""
+    from filterz_spark.ops.dedup import duplicate_spans
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=8) \
+        .withColumn("dup_frac", F.round("dup_frac", 6))
+
+
+def _q_url_blocklist(spark, sf_dir):
+    """URL blocklist pre-filter (round 6, ops/web.url_blocklist_filter):
+    drop docs whose host is on a broadcast blocklist or whose path
+    matches a keyword rule — the Dolma/RefinedWeb filter that runs
+    before any text moves. Broadcast anti-join (the 100-TB corpus never
+    shuffles) + map-only path regex; the oracle re-derives the messy
+    URLs and re-implements host/path extraction in DuckDB."""
+    from filterz_spark.ops.web import url_blocklist_filter
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    blocked = spark.createDataFrame(
+        [("www.src3.example.com",), ("cdn.src7.example.com",),
+         ("a.b.src1.example.co.uk",)], "host string")
+    return url_blocklist_filter(d, blocked, match="host",
+                                path_pattern="^/docs//") \
+        .select("doc_id", "url")
+
+
 def _q_domain_quota(spark, sf_dir):
     """Per-host crawl-budget cap (round 6): the ops/web host extraction
     composed with ops/relational.per_key_quota — keep at most 5 docs per
@@ -1092,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
+        "html_extract": _q_html_extract,
+        "duplicate_spans": _q_duplicate_spans,
+        "url_blocklist": _q_url_blocklist,
     }
 
 
@@ -1126,6 +1194,11 @@ def _sql_lang_scores() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from filterz_spark.ops.html import extract_html_text_sql
+
+    # the generated DuckDB twin of ops/html.html_to_text — produced from
+    # the same step tables as the Spark expression, so they cannot drift
+    _html_twin_sql = extract_html_text_sql("html")
     # deterministic messy-URL derivation — the independent twin of
     # _messy_url() (see its docstring)
     messy_url_sql = (
@@ -1866,5 +1939,51 @@ def oracle_sql() -> dict[str, str]:
             "range(1, least(length(text), 256) + 1), "
             "i -> ascii(substring(text, i, 1))), 'sum'), 0) AS BIGINT) "
             "AS src_byte_sum FROM documents"
+        ),
+        "html_extract": (
+            "WITH raw AS (SELECT doc_id, concat("
+            "'<html><head><title>Doc ', CAST(doc_id AS VARCHAR), "
+            "'</title><style type=\"text/css\">body { color: #fff; }"
+            "</style><script>if (1 < 2) { var s = \"</div>\"; }"
+            "</script></head><body><h1 id=\"t\">Doc ', "
+            "CAST(doc_id AS VARCHAR), "
+            "'</h1><!-- nav <p> skipped --><div class=''main''><p>', "
+            "text, "
+            "'</p><br/><ul><li>A &amp; B</li><li>x &lt;= y</li></ul>"
+            "</div><p>&nbsp;tail&#39;s &quot;q&quot;</p></body></html>') "
+            "AS html FROM documents) "
+            f"SELECT doc_id, md5({_html_twin_sql}) AS text_md5, "
+            f"CAST(length({_html_twin_sql}) AS BIGINT) AS n_chars FROM raw"
+        ),
+        "duplicate_spans": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "sp AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(t) - 7, 1) + 1), "
+            "i -> array_to_string(t[i:i+7], ' '))) AS span FROM toks), "
+            "f AS (SELECT doc_id, CAST(concat('0x', "
+            "substring(md5(span), 1, 15)) AS BIGINT) AS fp FROM sp), "
+            "o AS (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY fp) AS owner FROM f) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_spans, "
+            "round(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS dup_frac "
+            "FROM o GROUP BY doc_id"
+        ),
+        "url_blocklist": (
+            f"WITH raw AS (SELECT doc_id, {messy_url_sql} AS url "
+            "FROM documents), "
+            "h AS (SELECT doc_id, url, "
+            "lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host, "
+            "regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path "
+            "FROM raw) "
+            "SELECT doc_id, url FROM h WHERE host NOT IN ("
+            "'www.src3.example.com', 'cdn.src7.example.com', "
+            "'a.b.src1.example.co.uk') "
+            "AND NOT regexp_matches(path, '^/docs//')"
         ),
     }

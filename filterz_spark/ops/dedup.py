@@ -652,3 +652,57 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")) \
                .filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_spans(docs: DataFrame, window: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    span_key: str = "md5") -> DataFrame:
+    """Exact substring-dedup statistics, the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) signal at document granularity: every
+    ``window``-token span is owned by the corpus-wide FIRST document
+    containing it (min ``id_col``); a span occurring in any LATER doc is
+    a duplicated span. Returns one row per doc:
+    (doc_id, n_spans, n_dup_spans, dup_frac) — filter on ``dup_frac``
+    to drop heavily-duplicated docs, or feed the flagged docs to a
+    span-removal rewrite. Docs shorter than ``window`` tokens form ONE
+    span over all their tokens; a doc's own repeats of a span it owns
+    are NOT counted as duplicates (ownership is per-document).
+
+    ``span_key="md5"`` (default) keys spans by the first 15 md5 hex
+    chars (60 bits) — DuckDB-portable, oracle-checkable;
+    ``"xxhash64"`` is the engine-hash opt-in (full 64 bits, ~2x less
+    hashing CPU, no SQL twin) — same trade documented on
+    ``minhash_signature_arrays``.
+
+    Scale shape: the span fan-out (~n_tokens rows/doc) is MAP-ONLY and
+    hashes each span string to an 8-byte key before anything moves —
+    the exchange carries (doc_id, fp) pairs only, never span text. One
+    analytic-window shuffle on the span key (min-owner, the same
+    single-shuffle discipline as ``url_dedup``), one map-side-combined
+    groupBy on doc_id. No all-pairs stage exists at any scale.
+    """
+    from pyspark.sql import Window
+
+    if span_key not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown span_key {span_key!r}")
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.array_join(F.slice(toks, i, window), " "))
+    span_col = F.explode(spans).alias("span")
+    fp = (F.xxhash64("span") if span_key == "xxhash64"
+          else F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+          .cast("long"))
+    per_span = (docs.select(F.col(id_col).alias("doc_id"), span_col)
+                .select("doc_id", fp.alias("fp")))
+    owner = F.min("doc_id").over(Window.partitionBy("fp"))
+    flagged = per_span.select(
+        "doc_id", (F.col("doc_id") > owner).cast("long").alias("is_dup"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 F.sum("is_dup").alias("n_dup_spans"))
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    (F.col("n_dup_spans") / F.col("n_spans"))
+                    .alias("dup_frac")))

@@ -127,3 +127,41 @@ def host_stats(docs: DataFrame, url_col: str = "url",
     return (base.groupBy("host").agg(*aggs)
             .withColumn("domain", registered_domain(F.col("host")))
             .select(*cols))
+
+
+def url_path_of(col) -> Column:
+    """Path component of a URL (no scheme/host/query/fragment) — map-only."""
+    return F.regexp_extract(col, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+
+def url_blocklist_filter(docs: DataFrame, blocked: DataFrame,
+                         url_col: str = "url", match: str = "domain",
+                         path_pattern: str | None = None) -> DataFrame:
+    """Drop documents whose URL is blocklisted — the Dolma/RefinedWeb
+    pre-filter that runs before any text is fetched or moved.
+
+    ``blocked`` is a one-column DataFrame of blocked keys:
+    ``match="domain"`` (default) blocks by registered domain (so
+    ``spam.example.com`` and ``www.example.com`` both fall to an
+    ``example.com`` entry); ``match="host"`` blocks exact hosts. An
+    optional ``path_pattern`` (Java-regex/RE2 common subset, so the
+    DuckDB twin stays exact) additionally drops any URL whose PATH
+    matches — the keyword rules blocklists carry alongside domain lists.
+
+    Scale shape: blocklists are driver-small (the public ones are a few
+    hundred thousand rows) — the anti-join is explicitly ``broadcast()``,
+    so the 100-TB corpus never shuffles for this filter; host/domain
+    derivation and the path rule are map-only JVM expressions that push
+    past the scan. Output is the input rows that survive, unchanged.
+    """
+    if match not in ("domain", "host"):
+        raise ValueError(f"unknown match {match!r}")
+    key_col = blocked.columns[0]
+    host = host_of(F.col(url_col))
+    key = registered_domain(host) if match == "domain" else host
+    out = docs.withColumn("__blk_key", key).join(
+        F.broadcast(blocked.select(F.col(key_col).alias("__blk_key"))),
+        "__blk_key", "left_anti").drop("__blk_key")
+    if path_pattern is not None:
+        out = out.where(~url_path_of(F.col(url_col)).rlike(path_pattern))
+    return out
