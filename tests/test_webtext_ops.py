@@ -80,6 +80,21 @@ class TestHtmlToText:
         df = spark.createDataFrame([("<b>t</b>",)], "h string")
         assert df.select(html_to_text("h").alias("t")).first()["t"] == "t"
 
+    def test_recovers_synth_pages_text_byte_identical(self, spark):
+        """The input-hint per-row invariant via the pure-JVM path: over
+        the synthetic pages table (url, warc_ts, html BINARY, text, lang)
+        the extractor must recover `text` byte-identically from `html`
+        on every row — the title line is the only other content."""
+        from filterz_spark.sources.pages import synth_pages
+
+        pages = synth_pages(spark, 300, num_partitions=5)
+        ext = pages.select(
+            "text",
+            html_to_text(F.col("html").cast("string")).alias("ex"))
+        bad = ext.where(
+            F.element_at(F.split("ex", "\n"), 2) != F.col("text")).count()
+        assert bad == 0
+
 
 def _ref_duplicate_spans(docs, w):
     """Independent reference: dict doc_id -> (n_spans, n_dup_spans)."""
