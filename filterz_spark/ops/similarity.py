@@ -173,13 +173,29 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
         c = np.asarray(cb, dtype=np.float64)
         cn = np.linalg.norm(c, axis=1)
         cn[cn == 0] = 1.0
+        # argmax of cosine is invariant to the (positive) row norm, so
+        # normalizing CENTROIDS once and matmul'ing against them gives the
+        # same assignment with none of the per-row division passes. Chunk
+        # the rows so the (chunk, n_clusters) score block stays ~cache
+        # sized instead of materializing an n x n_clusters float64 matrix:
+        # at 31k rows x 4096 clusters the old full-batch form moved ~7 GB
+        # of DRAM per task (1 GB scores written + two full elementwise
+        # divisions + argmax re-read) and 32 concurrent tasks saturated
+        # the memory bus (measured: the 1M-vector semdedup rehearsal's
+        # assignment stage made no task progress in 5 minutes; chunked
+        # no-division form finishes the stage in seconds).
+        cnorm_t = (c / cn[:, None]).T
+        chunk = max(1, (1 << 25) // max(1, c.shape[0] * 8))  # ~32 MB blocks
         for batch in batches:
             ids = batch.column(0)
             mat = _batch_matrix(batch.column(1))
             if mat.size == 0:
                 continue
-            sims = (mat @ c.T) / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12) / cn
-            cols = [ids, pa.array(np.argmax(sims, axis=1).astype(np.int32))]
+            best = np.empty(mat.shape[0], dtype=np.int32)
+            for s in range(0, mat.shape[0], chunk):
+                blk = mat[s:s + chunk] @ cnorm_t
+                best[s:s + chunk] = np.argmax(blk, axis=1)
+            cols = [ids, pa.array(best)]
             names = [id_col, "cluster"]
             if carry_vec:
                 cols.append(batch.column(1))

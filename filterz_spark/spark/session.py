@@ -18,6 +18,17 @@ def get_session(cores: int | None = None, app_name: str = "filterz-spark",
                 shuffle_partitions: int | None = None, **extra_conf) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # One BLAS thread per python worker: Spark already runs `cores`
+    # concurrent tasks, so a multi-threaded numpy matmul inside an Arrow
+    # UDF oversubscribes cores^2 threads and collapses into kernel-side
+    # scheduler thrash (observed: 32 ivf_assign workers at ~98% SYSTEM
+    # time, zero progress, on the 1M-vector semdedup rehearsal). Workers
+    # inherit the driver env in local mode; on a real cluster set the
+    # same vars via spark.executorEnv.* — done below so it applies there
+    # too. setdefault: an explicit caller override wins.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -41,6 +52,13 @@ def get_session(cores: int | None = None, app_name: str = "filterz-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # cluster-mode twin of the os.environ pinning above
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS",
+                os.environ["MKL_NUM_THREADS"])
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
