@@ -499,6 +499,35 @@ def _q_url_blocklist(spark, sf_dir):
         .select("doc_id", "url")
 
 
+def _q_classifier_quality(spark, sf_dir):
+    """Linear classifier inference (round 6, ops/text.classifier_scores
+    — the fastText-style quality-classifier scoring pass): broadcast the
+    exported (token, weight) linear layer, one groupBy shuffle, sigmoid
+    of the mean token weight. The weights here are a deterministic
+    fixture over corpus vocabulary; the oracle re-runs the same linear
+    model in DuckDB (VALUES join + exp)."""
+    from filterz_spark.ops.text import classifier_scores
+    weights = spark.createDataFrame(
+        [("key", 0.9), ("table", 0.7), ("scan", 0.5), ("slow", -0.8),
+         ("hash", 0.3), ("merge", -0.4)], "token string, weight double")
+    return classifier_scores(_t(spark, sf_dir, "documents"), weights,
+                             bias=-0.2, default_weight=-0.05)
+
+
+def _q_lm_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality bucketing (round 6,
+    ops/relational.score_quantile_buckets over the unigram LM score):
+    per-score histogram (bounded by distinct rounded scores, never a
+    corpus-wide rank window), cumulative fractions on the histogram,
+    broadcast join back — ties never split. The oracle recomputes the
+    same histogram rule in DuckDB."""
+    from filterz_spark.ops.relational import score_quantile_buckets
+    from filterz_spark.ops.text import unigram_logprob_scores
+    scored = unigram_logprob_scores(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "lm_score")
+    return score_quantile_buckets(scored, "lm_score")
+
+
 def _q_domain_quota(spark, sf_dir):
     """Per-host crawl-budget cap (round 6): the ops/web host extraction
     composed with ops/relational.per_key_quota — keep at most 5 docs per
@@ -1160,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "duplicate_spans": _q_duplicate_spans,
         "url_blocklist": _q_url_blocklist,
+        "classifier_quality": _q_classifier_quality,
+        "lm_quality_buckets": _q_lm_quality_buckets,
     }
 
 
@@ -1985,5 +2016,37 @@ def oracle_sql() -> dict[str, str]:
             "'www.src3.example.com', 'cdn.src7.example.com', "
             "'a.b.src1.example.co.uk') "
             "AND NOT regexp_matches(path, '^/docs//')"
+        ),
+        "classifier_quality": (
+            "WITH w(tok, wt) AS (VALUES ('key', 0.9), ('table', 0.7), "
+            "('scan', 0.5), ('slow', -0.8), ('hash', 0.3), "
+            "('merge', -0.4)), "
+            "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS tok FROM documents), "
+            "j AS (SELECT doc_id, coalesce(wt, -0.05) AS wt "
+            "FROM toks LEFT JOIN w USING (tok)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(1.0 / (1.0 + exp(-(-0.2 + sum(wt) / count(*)))), 6) "
+            "AS quality_prob FROM j GROUP BY doc_id"
+        ),
+        "lm_quality_buckets": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w FROM documents), "
+            "vocab AS (SELECT w, count(*) AS wc FROM words GROUP BY w), "
+            "tot AS (SELECT count(*) AS n FROM words), "
+            "scored AS (SELECT doc_id, "
+            "round(avg(ln(wc / CAST(n AS DOUBLE))), 4) AS lm_score "
+            "FROM words JOIN vocab USING (w), tot GROUP BY doc_id), "
+            "hist AS (SELECT lm_score, count(*) AS c FROM scored "
+            "GROUP BY lm_score), "
+            "hb AS (SELECT lm_score, coalesce(sum(c) OVER ("
+            "ORDER BY lm_score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) / CAST(sum(c) OVER () AS DOUBLE) "
+            "AS fb FROM hist), "
+            "pb AS (SELECT lm_score, CASE WHEN fb < 1.0/3 THEN 'head' "
+            "WHEN fb < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM hb) "
+            "SELECT s.doc_id, s.lm_score, p.bucket "
+            "FROM scored s JOIN pb p USING (lm_score)"
         ),
     }

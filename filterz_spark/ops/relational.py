@@ -409,3 +409,48 @@ def dedup_components(pairs: DataFrame, all_ids: DataFrame,
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def score_quantile_buckets(scored: DataFrame, score_col: str,
+                           cuts: tuple = (1.0 / 3, 2.0 / 3),
+                           labels: tuple = ("head", "middle", "tail"),
+                           ascending: bool = False) -> DataFrame:
+    """CCNet-style quantile bucket assignment (head/middle/tail in the
+    paper; any cut list works): rank rows by ``score_col`` (descending
+    by default — higher score = better bucket) and label each row by the
+    cumulative fraction of rows strictly ahead of its SCORE VALUE. Ties
+    are never split: every row with the same score lands in the bucket
+    of the group's first row — the semantics a threshold-on-quantile
+    filter actually has.
+
+    Scale shape — the naive form (percent_rank over a global ORDER BY
+    window) moves the ENTIRE corpus to one reducer; this one never
+    ranks rows. It builds the per-score histogram (one map-side-combined
+    shuffle whose output is bounded by the number of DISTINCT scores,
+    not rows), computes cumulative fractions on that bounded histogram
+    (the only unpartitioned window runs over histogram rows — fine for
+    the discretized/rounded scores every upstream scorer here emits,
+    e.g. lm_score's 4 decimals; do NOT feed it a continuous unrounded
+    score at corpus scale), and broadcast-joins the per-score bucket
+    back — the corpus side stays map-only.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(f"need len(labels) == len(cuts)+1, got "
+                         f"{len(labels)} labels / {len(cuts)} cuts")
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    frac_before = (F.coalesce(F.sum("__c").over(w), F.lit(0))
+                   / F.sum("__c").over(wt))
+    bucket = None
+    for cut, lab in zip(cuts, labels):
+        clause = frac_before < F.lit(float(cut))
+        bucket = (F.when(clause, F.lit(lab)) if bucket is None
+                  else bucket.when(clause, F.lit(lab)))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    per_score = hist.select(score_col, bucket.alias("bucket"))
+    return scored.join(F.broadcast(per_score), score_col)

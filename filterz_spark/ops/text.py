@@ -507,3 +507,38 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         cur = F.regexp_replace(cur, pat, replacement.format(kind=kind))
     keep = [c for c in docs.columns if c != text_col]
     return docs.select(*keep, cur.alias("redacted_text"), *counts)
+
+
+def classifier_scores(docs: DataFrame, weights: DataFrame,
+                      bias: float = 0.0, default_weight: float = 0.0,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Linear text-classifier inference — the fastText-style quality/
+    domain classifier scoring pass every major pipeline runs (CCNet's
+    target-vs-background filter, Dolma's quality classifier): score =
+    sigmoid(bias + mean over tokens of weight(token)). ``weights`` is a
+    two-column (token, weight) DataFrame — a trained model's exported
+    linear layer; unknown tokens contribute ``default_weight``.
+    Returns (id, n_tokens, quality_prob) with quality_prob rounded to 6
+    decimals (portable across engines' exp/division rounding).
+
+    Scale shape: token explode is map-side; the weights table is
+    explicitly ``broadcast()`` (exported linear vocabularies are MB- to
+    low-GB-scale, driver-small at 100-TB corpus scale); the ONE shuffle
+    is the map-side-combined groupBy on the doc id carrying (id, double)
+    rows. No Python anywhere; the whole operator is oracle-checkable.
+    """
+    wcols = weights.columns
+    toks = docs.select(F.col(id_col), F.explode(
+        F.split(F.col(text_col), " ")).alias("__tok"))
+    w = F.broadcast(weights.select(
+        F.col(wcols[0]).alias("__tok"),
+        F.col(wcols[1]).cast("double").alias("__wt")))
+    j = toks.join(w, "__tok", "left").select(
+        F.col(id_col),
+        F.coalesce("__wt", F.lit(float(default_weight))).alias("__wt"))
+    lin = F.lit(float(bias)) + F.sum("__wt") / F.count("*")
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lin)), 6)
+        .alias("quality_prob"))

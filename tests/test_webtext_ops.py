@@ -208,3 +208,73 @@ class TestUrlBlocklist:
         assert "Exchange hashpartitioning" not in p, \
             "the corpus side must never shuffle"
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestClassifierScores:
+    def test_matches_hand_computed(self, spark):
+        import math
+        from filterz_spark.ops.text import classifier_scores
+        docs = spark.createDataFrame(
+            [(1, "good good bad"), (2, "zzz zzz zzz zzz")],
+            "doc_id long, text string")
+        w = spark.createDataFrame([("good", 2.0), ("bad", -1.0)],
+                                  "token string, weight double")
+        got = {r["doc_id"]: r for r in
+               classifier_scores(docs, w, bias=0.5,
+                                 default_weight=-0.25).collect()}
+        exp1 = 1 / (1 + math.exp(-(0.5 + (2.0 + 2.0 - 1.0) / 3)))
+        exp2 = 1 / (1 + math.exp(-(0.5 + 4 * -0.25 / 4)))
+        assert got[1]["n_tokens"] == 3
+        assert abs(got[1]["quality_prob"] - exp1) < 1e-6
+        assert abs(got[2]["quality_prob"] - exp2) < 1e-6
+
+    def test_plan_broadcast_one_shuffle(self, spark):
+        from filterz_spark.ops.text import classifier_scores
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        w = spark.createDataFrame([("a", 1.0)], "token string, weight double")
+        p = classifier_scores(docs, w)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestScoreQuantileBuckets:
+    def test_tie_group_never_splits(self, spark):
+        from filterz_spark.ops.relational import score_quantile_buckets
+        rows = [(1, 5.0), (2, 4.0), (3, 4.0), (4, 3.0), (5, 2.0), (6, 1.0)]
+        df = spark.createDataFrame(rows, "doc_id long, s double")
+        got = {r["doc_id"]: r["bucket"] for r in
+               score_quantile_buckets(df, "s").collect()}
+        # frac strictly ahead of each SCORE GROUP: 5.0->0, 4.0->1/6 (both
+        # head, the tie is unsplit), 3.0->3/6 middle, 2.0->4/6 tail, 1.0 tail
+        assert got == {1: "head", 2: "head", 3: "head",
+                       4: "middle", 5: "tail", 6: "tail"}
+
+    def test_ascending_mode(self, spark):
+        from filterz_spark.ops.relational import score_quantile_buckets
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 7)], "doc_id long, s double")
+        got = {r["doc_id"]: r["bucket"] for r in
+               score_quantile_buckets(df, "s", ascending=True).collect()}
+        assert got == {1: "head", 2: "head", 3: "middle",
+                       4: "middle", 5: "tail", 6: "tail"}
+
+    def test_bad_labels_raise(self, spark):
+        import pytest as _pytest
+        from filterz_spark.ops.relational import score_quantile_buckets
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+        with _pytest.raises(ValueError, match="labels"):
+            score_quantile_buckets(df, "s", cuts=(0.5,),
+                                   labels=("a", "b", "c"))
+
+    def test_corpus_side_map_only(self, spark):
+        """The only hashpartitioning exchange is the histogram groupBy;
+        the corpus rejoins via broadcast — no rank window over rows."""
+        from filterz_spark.ops.relational import score_quantile_buckets
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(100)], "doc_id long, s double")
+        p = score_quantile_buckets(df, "s")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p
+        assert p.count("Exchange hashpartitioning") == 1, p
