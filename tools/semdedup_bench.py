@@ -74,9 +74,10 @@ def make_corpus(spark, n: int, k: int):
             h = (gsrc.astype(np.int64) * 2654435761
                  + lab.astype(np.int64) * 97 + 1) % _M
             noise = _hash_rows(h, _K_NOISE)
-            # 0.22 puts typical same-cluster cosine ~0.65 — well under the
-            # 0.95 threshold, so only the constructed duplicates drop
-            # (validated: dropped fraction == constructed dup fraction)
+            # 0.22 puts typical same-cluster cosine ~0.65 — the drop set is
+            # the constructed duplicates (~12.7% of rows) plus a natural
+            # high-cosine tail (measured total ~16.7% at threshold 0.95),
+            # deterministic either way
             v = c[lab] + 0.22 * noise
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
             flat = pa.array(v.astype(np.float32).ravel())
