@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..spark.partitioning import ensure_parallelism
 from .dedup import ngram_decontaminate
 from .relational import stratified_sample
 from .text import normalize_text
@@ -89,14 +90,19 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
       the session's cache across calls deliberately).
 
     The barrier input is PROJECTED to (doc_id, strata, norm_hash,
-    n_tokens) first — norm_text and the quality ratio are consumed by the
-    filter and never read downstream, so the materialized/persisted state
-    is a few dozen bytes per surviving doc, not the normalized corpus.
+    n_tokens, __dr) first — norm_text is consumed by the metric
+    expressions and never read downstream, so the materialized/persisted
+    state is a few dozen bytes per doc, not the normalized corpus.
     """
     if not 0.0 < max_contamination <= 1.0:
         raise ValueError("max_contamination must be in (0, 1]")
     barrier = _select_barrier(docs.sparkSession, barrier)
-    norm = normalize_text(docs, keep_cols=(strata_col,))
+    # scan-parallelism guard (spark.partitioning): the normalize chain is
+    # the pipeline's per-byte cost center and fuses into the scan stage;
+    # a small/1-row-group input would run it on 1-2 tasks at local[32]
+    norm = normalize_text(
+        ensure_parallelism(docs.select("doc_id", strata_col, "text")),
+        keep_cols=(strata_col,))
 
     # QUALITY FIRST, fused into the normalize projection. Semantically
     # identical to filtering after dedup — n_tokens/__dr are pure functions
@@ -110,33 +116,36 @@ def curate_training_set(docs: DataFrame, bench: DataFrame,
     # array_distinct chains per input row inside a pre-join Filter
     # (measured: 99s -> ~30s for the composed count at 1M docs/32c).
     ws = F.split(F.col("norm_text"), " ")
-    survivors = (norm
-                 .withColumn("n_tokens", F.size(ws).cast("long"))
-                 .withColumn("__dr", F.size(F.array_distinct(ws))
-                             / F.col("n_tokens"))
+    metrics = (norm
+               .withColumn("n_tokens", F.size(ws).cast("long"))
+               .withColumn("__dr", F.size(F.array_distinct(ws))
+                           / F.col("n_tokens"))
+               .select("doc_id", strata_col, "norm_hash", "n_tokens",
+                       "__dr"))
+    # the barrier is an optimizer barrier, placed BEFORE the quality
+    # filter (round 7): with it after the filter, Catalyst substitutes the
+    # quality predicates — and through them the whole normalize chain —
+    # into the pre-barrier Filter, evaluating the regex/split chains ~5x
+    # per input row (measured 2x wall on the composed leg; the same
+    # re-substitution blowup hit the dedup double-reference before round
+    # 3, measured 5.2x at 10M docs — BENCH/PIPELINE.md). Materializing the
+    # per-doc METRICS (a few dozen bytes/doc, norm_text already dropped)
+    # lets the single pre-barrier projection evaluate the chain once
+    # (codegen CSE applies within one Project) and makes the filter above
+    # the barrier free to duplicate into both dedup branches. All modes
+    # are lazy/no-op until the first action.
+    if barrier == "local":
+        metrics = metrics.localCheckpoint(eager=False)
+    elif barrier == "reliable":
+        metrics = metrics.checkpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+        metrics = metrics.persist(StorageLevel.DISK_ONLY)
+    survivors = (metrics
                  .filter((F.col("n_tokens") >= min_tokens)
                          & (F.col("n_tokens") <= max_tokens)
                          & (F.col("__dr") >= min_distinct_ratio))
-                 # project BEFORE the barrier: norm_text/__dr are consumed
-                 # by the filter above and read by nothing downstream
-                 # (dedup keys on norm_hash+doc_id, output on
-                 # doc_id/strata/n_tokens) — column pruning cannot cross a
-                 # barrier, so without this select the barrier would pin
-                 # the full normalized corpus text in storage
                  .select("doc_id", strata_col, "norm_hash", "n_tokens"))
-    # the barrier is an optimizer barrier: without it the quality
-    # predicates are substituted into BOTH dedup-join branches (survivors
-    # is referenced twice), re-evaluating the normalize chain per row
-    # inside pushed filters (measured 5.2x on the composed pipeline at
-    # 10M docs — BENCH/PIPELINE.md). All modes are lazy/no-op until the
-    # first action.
-    if barrier == "local":
-        survivors = survivors.localCheckpoint(eager=False)
-    elif barrier == "reliable":
-        survivors = survivors.checkpoint(eager=False)
-    else:
-        from pyspark import StorageLevel
-        survivors = survivors.persist(StorageLevel.DISK_ONLY)
 
     # exact dedup on normalized content: keep the min doc_id per hash
     keep = (survivors.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id")))

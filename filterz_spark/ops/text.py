@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..spark.partitioning import ensure_parallelism
+
 # stopword-ish marker tokens per language for the n-gram/marker heuristic
 LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
@@ -237,7 +239,10 @@ def rolling_fingerprints(docs: DataFrame, window: int = ROLLING_WINDOW) -> DataF
     """
     _check_rolling_window(window)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    words = docs.select(
+    # scan-parallelism guard (see spark.partitioning): the per-word md5
+    # pass below fuses into the scan stage and a small/1-row-group input
+    # would run it on 1-2 tasks (measured 2.7x on the round-6 bench leg)
+    words = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     hashed = words.select(
         "doc_id", "pos",

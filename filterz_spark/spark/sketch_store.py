@@ -58,11 +58,16 @@ def _read_meta(spark: SparkSession, path: str):
 
 def _stamp(spark: SparkSession, path: str, kind: str, params: dict,
            value_kind: str) -> None:
+    # driver-side Hadoop FS write: the marker is one KB-sized JSON row and
+    # the former 1-row Spark job cost ~4.5 s per stamp (measured), which
+    # dominated a fresh store's first epoch write; the reader
+    # (spark.read.json on the directory) is unchanged and reads both
+    # layouts
+    from .fsio import overwrite_json_marker
     meta_path = f"{path.rstrip('/')}/{SKETCHSTORE_META_DIR}"
-    (spark.createDataFrame(
-        [(kind, _params_key(params), value_kind, 1)],
-        SKETCHSTORE_META_SCHEMA)
-     .coalesce(1).write.mode("overwrite").json(meta_path))
+    overwrite_json_marker(spark, meta_path, json.dumps({
+        "kind": kind, "params": _params_key(params),
+        "value_kind": value_kind, "version": 1}))
 
 
 def _resolve_value_kind(kind: str, value_kind: str | None) -> str:

@@ -150,11 +150,16 @@ def test_lsh_candidate_pairs_single_signature_pass(spark):
 def test_minhash_signature_single_doc_aggregate(spark):
     """Array-form signatures reduce in ONE groupBy(doc_id) — no band
     replication of shingle rows (the former crossJoin form shuffled
-    num_hashes x n_shingles rows), and exactly one exchange."""
+    num_hashes x n_shingles rows), and exactly one HASH exchange. A
+    round-robin exchange from the scan-parallelism guard
+    (spark.partitioning.ensure_parallelism — fires only on inputs too
+    small/coarse to feed the cluster) is allowed; it carries pre-explode
+    doc rows, not shingle fan-out."""
     from filterz_spark.ops.dedup import minhash_signature_arrays
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan(minhash_signature_arrays(docs, 8, 2), "simple")
-    assert p.count("Exchange") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange") <= 2, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
 
 
