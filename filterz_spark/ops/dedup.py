@@ -676,7 +676,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def duplicate_spans(docs: DataFrame, window: int = 16,
                     id_col: str = "doc_id", text_col: str = "text",
-                    span_key: str = "md5") -> DataFrame:
+                    span_key: str = "md5",
+                    owner_strategy: str = "agg") -> DataFrame:
     """Exact substring-dedup statistics, the Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499) signal at document granularity: every
@@ -697,15 +698,37 @@ def duplicate_spans(docs: DataFrame, window: int = 16,
 
     Scale shape: the span fan-out (~n_tokens rows/doc) is MAP-ONLY and
     hashes each span string to an 8-byte key before anything moves —
-    the exchange carries (doc_id, fp) pairs only, never span text. One
-    analytic-window shuffle on the span key (min-owner, the same
-    single-shuffle discipline as ``url_dedup``), one map-side-combined
-    groupBy on doc_id. No all-pairs stage exists at any scale.
+    the exchange carries (doc_id, fp) pairs only, never span text.
+
+    ``owner_strategy`` picks how the corpus-wide min owner per span key
+    is computed; both produce identical rows:
+
+    - ``"agg"`` (default, round 7): fully COMBINER-FRIENDLY — spans
+      first collapse to (doc_id, fp, count) in one map-side-combined
+      groupBy; the owner then comes from ``min(struct(doc_id, count))``
+      per fp, whose partial aggregation collapses a viral span (one
+      16-gram in 10^10 rows at corpus scale) to ONE candidate row per
+      map task, and the per-doc answer is
+      ``n_dup = n_spans - owned_instances`` — an equi-join of two
+      doc-keyed count tables, never a per-instance join back. No stage
+      anywhere receives all copies of a hot key on one task (the
+      map-side exchange is computed once and reused by both aggregation
+      branches — ReusedExchange in the plan).
+    - ``"window"``: the round-6 single-shuffle analytic window
+      (min over ``Window.partitionBy(fp)``). One shuffle fewer for
+      skew-free corpora, but a window partition cannot be pre-aggregated
+      or split (AQE skew handling covers joins, NOT WindowExec), so
+      every copy of a hot span lands on one reducer — opt-in only where
+      the span-frequency distribution is known benign.
+
+    No all-pairs stage exists at any scale under either strategy.
     """
     from pyspark.sql import Window
 
     if span_key not in ("md5", "xxhash64"):
         raise ValueError(f"unknown span_key {span_key!r}")
+    if owner_strategy not in ("agg", "window"):
+        raise ValueError(f"unknown owner_strategy {owner_strategy!r}")
     toks = F.split(F.col(text_col), " ")
     n_spans = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     spans = F.transform(
@@ -715,14 +738,38 @@ def duplicate_spans(docs: DataFrame, window: int = 16,
     fp = (F.xxhash64("span") if span_key == "xxhash64"
           else F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
           .cast("long"))
-    per_span = (docs.select(F.col(id_col).alias("doc_id"), span_col)
-                .select("doc_id", fp.alias("fp")))
-    owner = F.min("doc_id").over(Window.partitionBy("fp"))
-    flagged = per_span.select(
-        "doc_id", (F.col("doc_id") > owner).cast("long").alias("is_dup"))
-    return (flagged.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_spans"),
-                 F.sum("is_dup").alias("n_dup_spans"))
+    per_span = (ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", span_col)
+        .select("doc_id", fp.alias("fp")))
+    if owner_strategy == "window":
+        owner = F.min("doc_id").over(Window.partitionBy("fp"))
+        flagged = per_span.select(
+            "doc_id", (F.col("doc_id") > owner).cast("long").alias("is_dup"))
+        return (flagged.groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_spans"),
+                     F.sum("is_dup").alias("n_dup_spans"))
+                .select("doc_id", "n_spans", "n_dup_spans",
+                        (F.col("n_dup_spans") / F.col("n_spans"))
+                        .alias("dup_frac")))
+    # combiner-friendly owner selection: an instance is non-dup iff its
+    # doc IS the span's min owner, so
+    #   n_dup(doc) = n_spans(doc) - sum of counts over spans doc owns.
+    # (doc_id, fp) collapses within-doc repeats map-side; min(struct)
+    # partials collapse the hot fp to one row per task; both branches
+    # reuse the same map-side exchange.
+    per_span_c = (per_span.groupBy("doc_id", "fp")
+                  .agg(F.count("*").alias("__c")))
+    totals = per_span_c.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("n_spans"))
+    owned = (per_span_c.groupBy("fp")
+             .agg(F.min(F.struct("doc_id", "__c")).alias("__w"))
+             .groupBy(F.col("__w.doc_id").alias("doc_id"))
+             .agg(F.sum("__w.__c").alias("__own")))
+    return (totals.join(owned, "doc_id", "left")
+            .select("doc_id", "n_spans",
+                    (F.col("n_spans") - F.coalesce("__own", F.lit(0)))
+                    .cast("long").alias("n_dup_spans"))
             .select("doc_id", "n_spans", "n_dup_spans",
                     (F.col("n_dup_spans") / F.col("n_spans"))
                     .alias("dup_frac")))

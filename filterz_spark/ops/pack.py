@@ -119,10 +119,17 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
     offs = token_offsets(docs, id_col, token_col, text_col, seed)
     s, n = F.col("start_offset"), F.col("n_tokens")
     L = F.lit(seq_len).cast("long")
+    # EXACT integer division (`div`): long/long with `/` yields a double,
+    # whose 53-bit mantissa can round the floor UP at extreme stream
+    # offsets (~4e15+ tokens) and misalign every downstream slice — the
+    # DuckDB twin uses exact '//'; `div` keeps both engines bit-identical
+    # at any offset.
     spans = offs.select(
         id_col, "n_tokens", "start_offset",
-        F.explode(F.sequence((s / L).cast("long"),
-                             ((s + n - 1) / L).cast("long"))).alias("seq_id"))
+        F.explode(F.sequence(
+            F.expr(f"start_offset div {int(seq_len)}"),
+            F.expr(f"(start_offset + n_tokens - 1) div {int(seq_len)}")))
+        .alias("seq_id"))
     b = F.col("seq_id") * L  # this sequence's stream-global start
     begin_g = F.greatest(s, b)
     end_g = F.least(s + n, b + L)

@@ -414,7 +414,8 @@ def dedup_components(pairs: DataFrame, all_ids: DataFrame,
 def score_quantile_buckets(scored: DataFrame, score_col: str,
                            cuts: tuple = (1.0 / 3, 2.0 / 3),
                            labels: tuple = ("head", "middle", "tail"),
-                           ascending: bool = False) -> DataFrame:
+                           ascending: bool = False,
+                           max_distinct_scores: int | None = 1_000_000) -> DataFrame:
     """CCNet-style quantile bucket assignment (head/middle/tail in the
     paper; any cut list works): rank rows by ``score_col`` (descending
     by default — higher score = better bucket) and label each row by the
@@ -433,6 +434,20 @@ def score_quantile_buckets(scored: DataFrame, score_col: str,
     e.g. lm_score's 4 decimals; do NOT feed it a continuous unrounded
     score at corpus scale), and broadcast-joins the per-score bucket
     back — the corpus side stays map-only.
+
+    ``max_distinct_scores`` (round 7) makes the boundedness assumption a
+    RUNTIME CONTRACT instead of a docstring plea: the histogram row
+    count is checked inside the plan (a 1-row aggregate over the
+    already-shuffled histogram — no extra corpus scan) and the query
+    raises loudly when a caller feeds a continuous unrounded score whose
+    histogram would silently become a corpus-sized single-reducer
+    window. The guard rides in as a broadcast, which materializes before
+    the window stage runs. ``None`` disables it (caller-proven input).
+    Rows with a NULL score are counted in the histogram but, because the
+    final join is null-unsafe, do not appear in the output — filter or
+    bucket them explicitly upstream; and if deriving ``scored`` is
+    expensive, persist/localCheckpoint it first (it is scanned for the
+    histogram and again as the probe side).
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError(f"need len(labels) == len(cuts)+1, got "
@@ -440,6 +455,20 @@ def score_quantile_buckets(scored: DataFrame, score_col: str,
     from pyspark.sql import Window
 
     hist = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
+    if max_distinct_scores is not None:
+        guard = hist.agg(F.count("*").alias("__n")).select(
+            F.when(F.col("__n") <= F.lit(int(max_distinct_scores)),
+                   F.lit(1))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("score_quantile_buckets: "), F.col("__n").cast("string"),
+                F.lit(f" distinct values of '{score_col}' exceed "
+                      f"max_distinct_scores={max_distinct_scores}; the "
+                      "cumulative window would sort a corpus-sized "
+                      "histogram on one reducer. Round/discretize the "
+                      "score upstream (e.g. F.round(score, 4)) or raise "
+                      "max_distinct_scores explicitly."))))
+            .alias("__guard_ok"))
+        hist = hist.crossJoin(F.broadcast(guard))
     order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
     wt = Window.rowsBetween(Window.unboundedPreceding,
@@ -452,5 +481,11 @@ def score_quantile_buckets(scored: DataFrame, score_col: str,
         bucket = (F.when(clause, F.lit(lab)) if bucket is None
                   else bucket.when(clause, F.lit(lab)))
     bucket = bucket.otherwise(F.lit(labels[-1]))
+    if max_distinct_scores is not None:
+        # the guard column must stay LOAD-BEARING in the output expression:
+        # an unused column would be pruned, and with it the raise_error
+        # subtree. __guard_ok is always 1 (or the query raised), so the
+        # wrap never changes a bucket value.
+        bucket = F.when(F.col("__guard_ok") == 1, bucket)
     per_score = hist.select(score_col, bucket.alias("bucket"))
     return scored.join(F.broadcast(per_score), score_col)

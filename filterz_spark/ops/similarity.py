@@ -373,6 +373,15 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95, *,
     normed = assigned.select(
         F.col(id_col), "cluster", vd.alias("__v"),
         F.sqrt(_dot_expr(vd, vd)).alias("__n"))
+    if centroids is not None:
+        # materialize the assignment ONCE: ``normed`` feeds both sides of
+        # the salted pair join plus the final kept-flag select, and
+        # Catalyst does not share the subtree — without the barrier the
+        # Arrow-matmul assignment stage (the dominant cost at scale)
+        # re-executes ~3x per action. Same materialize-signatures
+        # discipline as lsh_candidate_pairs; the cluster_col path skips
+        # it (its assignment is a cheap projection).
+        normed = normed.localCheckpoint(eager=False)
     dropped = (_salted_pair_join(normed, id_col, ["cluster"])
                .filter(F.col("cosine") >= threshold)
                .select(F.col("id_b").alias(id_col)).distinct()

@@ -400,7 +400,8 @@ def remove_boilerplate(docs: DataFrame, group_col: str = "source",
 
 def dedup_lines(docs: DataFrame, line_sep: str = "\n",
                 scope_col: str | None = None,
-                join_on_hash: bool = False) -> DataFrame:
+                join_on_hash: bool = False,
+                owner_strategy: str = "agg") -> DataFrame:
     """Corpus-wide first-occurrence line dedup (the RefinedWeb /
     MassiveText line-dedup pass — a different rule from
     ``remove_boilerplate``: that one drops lines FREQUENT within a group,
@@ -419,28 +420,52 @@ def dedup_lines(docs: DataFrame, line_sep: str = "\n",
     a 64-bit collision could wrongly drop a distinct line, so the
     default stays exact.
 
-    Scale shape: posexplode (map-only) -> ONE window shuffle partitioned
-    by the line key (row_number picks the global winner — no separate
-    winner table + join-back, which would shuffle the lines a second
-    time) -> one doc_id shuffle rebuilding the text via
-    array_sort(collect_list(struct(pos, line))) -> per-doc totals join
-    computed map-only from split() (doc-count rows, not line-count).
-    Pure JVM end to end. The window partition key is the line itself, so
-    a pathological line repeated across the whole corpus lands on one
-    reducer — but row_number over it is O(copies) with no buffering of
-    line text beyond the partition scan, and AQE splits skewed
-    partitions; the hashed mode narrows the key to 8 bytes."""
-    lines = docs.select(
+    ``owner_strategy`` picks how the first-occurrence winner per line key
+    is found; both produce identical rows:
+
+    - ``"agg"`` (default, round 7): ONE map-side-combined aggregation —
+      ``min(struct(doc_id, pos, line))`` per line key. The min partials
+      collapse a viral line ("Home", cookie banners — at 100 TB easily
+      10^10 copies of one key) to ONE candidate row per map task, so the
+      reduce side of the hot key receives at most task-count rows. Same
+      shuffle count as the window form, strictly bounded per-task input.
+    - ``"window"``: the round-6 ``row_number`` over the line-key window.
+      A window partition cannot be pre-aggregated or split (AQE skew
+      handling covers joins, NOT WindowExec), so every copy of a hot
+      line lands on one reducer — opt-in only for corpora with a known
+      benign line-frequency distribution.
+
+    Scale shape: posexplode (map-only) -> ONE shuffle keyed by the line
+    (winner selection, per ``owner_strategy``) -> one doc_id shuffle
+    rebuilding the text via array_sort(collect_list(struct(pos, line)))
+    -> per-doc totals computed map-only from split() (doc-count rows,
+    not line-count). Pure JVM end to end; the hashed mode narrows the
+    shuffle key to 8 bytes."""
+    if owner_strategy not in ("agg", "window"):
+        raise ValueError(f"unknown owner_strategy {owner_strategy!r}")
+    lines = ensure_parallelism(docs.select(
+        "doc_id", *([scope_col] if scope_col else []), "text")).select(
         "doc_id",
         *([F.col(scope_col).alias("__scope")] if scope_col else []),
         F.posexplode(F.split(F.col("text"), line_sep)).alias("pos", "line"))
     key = F.xxhash64("line") if join_on_hash else F.col("line")
     part = (["__scope", "__k"] if scope_col else ["__k"])
-    w = Window.partitionBy(*part).orderBy(F.col("doc_id").asc(),
-                                          F.col("pos").asc())
-    kept = (lines.withColumn("__k", key)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1))
+    if owner_strategy == "agg":
+        # first occurrence = min(struct(doc_id, pos[, line])): (doc_id,
+        # pos) is unique per line instance, so the struct min IS the
+        # row_number()=1 row — and min partials combine map-side
+        kept = (lines.withColumn("__k", key)
+                .groupBy(*part)
+                .agg(F.min(F.struct("doc_id", "pos", "line")).alias("__w"))
+                .select(F.col("__w.doc_id").alias("doc_id"),
+                        F.col("__w.pos").alias("pos"),
+                        F.col("__w.line").alias("line")))
+    else:
+        w = Window.partitionBy(*part).orderBy(F.col("doc_id").asc(),
+                                              F.col("pos").asc())
+        kept = (lines.withColumn("__k", key)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(
                         F.transform(

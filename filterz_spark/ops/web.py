@@ -101,14 +101,22 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     (deterministic, replay-stable). Returns the input columns plus
     ``canonical_url``.
 
-    Scale shape: ONE shuffle, hash-partitioned on the canonical string
-    (window row_number, no self-join, no driver state); web URL keys are
-    near-uniform so no salting is needed, and the map-side projection is
-    the only thing that ever touches the raw text columns."""
+    Scale shape: ONE map-side-combined shuffle, hash-partitioned on the
+    canonical string — the survivor row is ``min(struct(id, ...))`` per
+    key (id first, ids unique, so the struct min IS the min-id row), and
+    the min PARTIALS collapse a hot canonical URL (a crawl that saw one
+    landing page 10^9 times) to one candidate row per map task. The
+    round-6 form was a ``row_number`` window over the same key, which
+    routed every copy of a hot key to one reducer (a window partition
+    cannot be pre-aggregated or split — AQE skew handling covers joins,
+    not WindowExec). No self-join, no driver state; the map-side
+    projection is the only thing that ever touches the raw text columns."""
     canon = with_canonical_url(docs, url_col)
-    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
-    return (canon.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn"))
+    others = [c for c in canon.columns if c != id_col]
+    return (canon
+            .groupBy("canonical_url")
+            .agg(F.min(F.struct(F.col(id_col), *others)).alias("__w"))
+            .select(*[F.col(f"__w.{c}").alias(c) for c in canon.columns]))
 
 
 def host_stats(docs: DataFrame, url_col: str = "url",

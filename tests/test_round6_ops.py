@@ -74,6 +74,25 @@ class TestDedupLines:
             .executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
+    def test_owner_strategies_identical(self, spark, line_docs):
+        """Round-7 combiner-friendly winner (min(struct), map-side
+        combinable — the default) must produce exactly the round-6
+        row_number-window rows, in every mode combination."""
+        for kw in ({}, {"join_on_hash": True}, {"scope_col": "source"}):
+            a = sorted(map(tuple, dedup_lines(line_docs, **kw).collect()))
+            b = sorted(map(tuple, dedup_lines(
+                line_docs, owner_strategy="window", **kw).collect()))
+            assert a == b, kw
+
+    def test_agg_owner_has_no_window_operator(self, spark, line_docs):
+        p = dedup_lines(line_docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in p, p
+
+    def test_bad_owner_strategy_raises(self, spark, line_docs):
+        with pytest.raises(ValueError, match="owner_strategy"):
+            dedup_lines(line_docs, owner_strategy="sort")
+
 
 class TestTopNgrams:
     def test_counts_and_tiebreak(self, spark):

@@ -152,12 +152,34 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError, match="span_key"):
             duplicate_spans(df, span_key="sha1")
 
-    def test_two_shuffles_no_python(self, spark):
+    def test_owner_strategies_identical(self, spark):
+        """The round-7 combiner-friendly owner selection (default) must
+        produce exactly the round-6 window rows."""
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        a = sorted(map(tuple, duplicate_spans(df, window=3).collect()))
+        b = sorted(map(tuple, duplicate_spans(
+            df, window=3, owner_strategy="window").collect()))
+        assert a == b
+
+    def test_bad_owner_strategy_raises(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="owner_strategy"):
+            duplicate_spans(df, owner_strategy="sort")
+
+    def test_plan_shapes_no_python(self, spark):
+        """Default (agg) owner: every aggregate is map-side combinable —
+        no window operator anywhere, bounded exchange count. The window
+        opt-in keeps the round-6 two-shuffle shape. Neither runs Python."""
         df = spark.createDataFrame(DOCS, "doc_id long, text string")
         p = duplicate_spans(df)._jdf.queryExecution() \
             .executedPlan().toString()
-        assert p.count("Exchange hashpartitioning") == 2, p
+        assert "Window" not in p, p
+        assert p.count("Exchange hashpartitioning") <= 5, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        pw = duplicate_spans(df, owner_strategy="window") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert pw.count("Exchange hashpartitioning") == 2, pw
+        assert "BatchEvalPython" not in pw and "ArrowEvalPython" not in pw
 
 
 URLS = [
@@ -268,13 +290,41 @@ class TestScoreQuantileBuckets:
             score_quantile_buckets(df, "s", cuts=(0.5,),
                                    labels=("a", "b", "c"))
 
+    def test_unbounded_scores_raise_loudly(self, spark):
+        """Round-7 guard: a continuous unrounded score (distinct count
+        above max_distinct_scores) must RAISE at execution instead of
+        silently building a corpus-sized single-reducer window; a bounded
+        score under the cap passes with identical buckets."""
+        import pytest as _pytest
+        from filterz_spark.ops.relational import score_quantile_buckets
+        df = spark.createDataFrame(
+            [(i, float(i) + 0.123) for i in range(100)], "doc_id long, s double")
+        with _pytest.raises(Exception, match="max_distinct_scores"):
+            score_quantile_buckets(df, "s", max_distinct_scores=10).collect()
+        guarded = {r["doc_id"]: r["bucket"] for r in
+                   score_quantile_buckets(df, "s",
+                                          max_distinct_scores=100).collect()}
+        unguarded = {r["doc_id"]: r["bucket"] for r in
+                     score_quantile_buckets(df, "s",
+                                            max_distinct_scores=None).collect()}
+        assert guarded == unguarded and len(guarded) == 100
+
     def test_corpus_side_map_only(self, spark):
         """The only hashpartitioning exchange is the histogram groupBy;
-        the corpus rejoins via broadcast — no rank window over rows."""
+        the corpus rejoins via broadcast — no rank window over rows.
+        The round-7 distinct-score guard renders the SAME histogram
+        exchange a second time in the static plan (its 1-row count agg
+        consumes the histogram; AQE reuses the shuffle stage at runtime),
+        so the guarded plan shows two identical hash exchanges and the
+        unguarded plan exactly one."""
         from filterz_spark.ops.relational import score_quantile_buckets
         df = spark.createDataFrame(
             [(i, float(i % 7)) for i in range(100)], "doc_id long, s double")
-        p = score_quantile_buckets(df, "s")._jdf.queryExecution() \
-            .executedPlan().toString()
+        p = score_quantile_buckets(df, "s", max_distinct_scores=None) \
+            ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p, p
         assert p.count("Exchange hashpartitioning") == 1, p
+        pg = score_quantile_buckets(df, "s")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in pg, pg
+        assert pg.count("Exchange hashpartitioning") == 2, pg
