@@ -48,6 +48,35 @@ def _params_key(params: dict) -> str:
 
 def _read_meta(spark: SparkSession, path: str):
     meta_path = f"{path.rstrip('/')}/{SKETCHSTORE_META_DIR}"
+    # driver-side Hadoop FS read first (the marker is one KB-sized JSON
+    # row; a Spark read job costs ~60 ms per epoch write and the epoch
+    # loop pays it every call); falls back to the Spark reader for any
+    # layout the plain read cannot handle
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        payloads = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                stream = fs.open(st.getPath())
+                try:
+                    payloads.append(
+                        jvm.org.apache.commons.io.IOUtils.toString(
+                            stream, "UTF-8"))
+                finally:
+                    stream.close()
+        rows = []
+        for p in payloads:
+            for line in p.splitlines():
+                if line.strip():
+                    d = json.loads(line)
+                    rows.append({k: d.get(k) for k in
+                                 ("kind", "params", "value_kind", "version")})
+        return rows[0] if rows else None
+    except Exception:
+        pass
     try:
         rows = spark.read.schema(SKETCHSTORE_META_SCHEMA).json(meta_path) \
             .collect()
@@ -143,6 +172,7 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
                 "a fresh path.")
 
     states = partial_states(df, col, kind, params, value_kind)
+    prior_used = False
     if merge_existing and meta is not None:
         # lift the epoch's current states off the partition about to be
         # overwritten (<= states_per_epoch KB rows — bounded by the
@@ -153,6 +183,7 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
         if prior:
             states = states.unionByName(
                 spark.createDataFrame(prior, STATE_SCHEMA))
+            prior_used = True
     # executor-side fan-in reduction to `states_per_epoch` rows. Round
     # count is derived from the df partition count (metadata, no job).
     try:
@@ -160,6 +191,7 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
     except Exception:
         n = states.rdd.getNumPartitions()
     cur, divisor = states, fanin
+    reduced = False
     while n > max(states_per_epoch, 1) * fanin:
         cur = (cur.withColumn("g", F.floor(F.col("partition_id") / divisor))
                .groupBy("g")
@@ -167,13 +199,23 @@ def write_sketch_epoch(df: DataFrame, col: str, path: str, epoch: str, *,
                               STATE_SCHEMA))
         n = (n + fanin - 1) // fanin
         divisor *= fanin
-    final = (cur.withColumn("g", F.pmod(F.col("partition_id"),
-                                        F.lit(max(states_per_epoch, 1))))
-             .groupBy("g")
-             .applyInPandas(
-                 lambda pdf: _merge_group(pdf.drop(columns=["g"])
-                                          .assign(partition_id=pdf["g"])),
-                 STATE_SCHEMA))
+        reduced = True
+    if not reduced and not prior_used and n <= max(states_per_epoch, 1):
+        # already <= states_per_epoch partials with contiguous ids 0..n-1:
+        # pmod(pid, s) is the identity here, so the final merge round would
+        # shuffle each row into its own 1-row group just to re-serialize it.
+        # Skipping it saves a shuffle + Python stage PER EPOCH (the epoch
+        # write loop's floor at small scale); any prior-state union or
+        # fan-in round keeps the merging path.
+        final = cur
+    else:
+        final = (cur.withColumn("g", F.pmod(F.col("partition_id"),
+                                            F.lit(max(states_per_epoch, 1))))
+                 .groupBy("g")
+                 .applyInPandas(
+                     lambda pdf: _merge_group(pdf.drop(columns=["g"])
+                                              .assign(partition_id=pdf["g"])),
+                     STATE_SCHEMA))
     out = final.withColumn("epoch", F.lit(str(epoch)))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
