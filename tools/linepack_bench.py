@@ -42,14 +42,18 @@ def hotkey_main(cores: int, reps: int, src: str) -> None:
     lines_arr = F.transform(
         F.sequence(F.lit(1), nl),
         lambda i: F.array_join(F.slice(w, (i - 1) * 8 + 1, 8), " "))
-    # plant ONE hot line (8 tokens, also a span seed) into 50% of docs,
-    # prepended so it lands at pos 0 for half the corpus
-    hot = "cookie banner accept all reject all manage preferences"
+    # plant a hot 30-token space-separated block + ONE hot line into 50%
+    # of docs, prepended: the block yields 15 constant 16-token spans per
+    # planted doc (tokens after it are contaminated by the "\n" joint),
+    # the block line + the hot line give dedup_lines two viral line keys
+    hot_line = "cookie banner accept all reject all manage preferences"
+    hot_block = " ".join(f"boiler{i}" for i in range(30))
     doc_id = F.xxhash64("url")
     docs = pages.select(
         doc_id.alias("doc_id"),
         F.when(doc_id % 2 == 0,
-               F.concat(F.lit(hot + "\n"), F.array_join(lines_arr, "\n")))
+               F.concat(F.lit(hot_block + "\n" + hot_line + "\n"),
+                        F.array_join(lines_arr, "\n")))
         .otherwise(F.array_join(lines_arr, "\n")).alias("text"))
     out = {"cores": cores, "docs": docs.count(), "hot_frac": 0.5}
 
@@ -85,6 +89,9 @@ def hotkey_main(cores: int, reps: int, src: str) -> None:
             "samples": samples, "best": min(samples), "out_rows": rows}
     assert (out["duplicate_spans_hot_agg"]["out_rows"]
             == out["duplicate_spans_hot_window"]["out_rows"]), out
+    # the plant must actually be hot: every planted doc but the owner
+    # carries 15 duplicated spans
+    assert out["duplicate_spans_hot_agg"]["out_rows"][2] > 10_000_000, out
     print(json.dumps(out))
 
 
